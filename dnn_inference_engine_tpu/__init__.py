@@ -1,0 +1,21 @@
+"""TPU-native quantized CNN inference engine.
+
+A brand-new JAX/XLA/Pallas framework replicating the capability set of the
+reference coursework engine ``tink-expo/dnn-inference-engine`` (see SURVEY.md;
+the reference mount was empty at survey time, so reference citations are to
+SURVEY.md sections rather than file:line):
+
+- YOLOv2-tiny-class CNNs executed layer-by-layer (SURVEY.md section 2.5)
+- INT8 weight-only (per-output-channel scales) and full W8A8 modes
+  (SURVEY.md section 2.2, Q1-Q3)
+- The reference's AVX/CUDA/cuBLAS im2col-GEMM kernels (SURVEY.md K1-K7)
+  become Pallas MXU kernels fusing dequant + matmul + bias + leaky-ReLU
+- Maxpool and NMS-ready head decode stay on-device (SURVEY.md K8, P2-P3)
+- Multi-chip scaling via jax.sharding Mesh: batch-sharded activations,
+  replicated or channel-sharded conv weights (SURVEY.md section 2.6)
+- Continuous-batching serving loop (SURVEY.md N1)
+"""
+
+__version__ = "0.1.0"
+
+from dnn_inference_engine_tpu.config import EngineConfig  # noqa: F401

@@ -1,0 +1,225 @@
+"""Head decode + NMS (reference P2/P3; SURVEY.md section 2.4).
+
+The decode stays on-device in-graph ([B]: "NMS-ready head decode"), and the
+engine provides BOTH:
+- ``host_nms``: numpy greedy per-class NMS — the reference-style baseline
+  and the correctness oracle;
+- ``device_nms``: static-shape on-device NMS (SURVEY.md hard part 1):
+  per-class top-K candidates, precomputed IoU matrix, K-step masked greedy
+  suppression under ``lax.fori_loop`` — no dynamic shapes anywhere.
+
+Box convention: (cx, cy, w, h) in network-input pixels ([0, 416]) out of
+decode; (x1, y1, x2, y2) inside NMS/eval.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_inference_engine_tpu.config import (
+    GRID_SIZE, INPUT_SIZE, MAX_DETECTIONS, NMS_IOU_THRESH, NUM_ANCHORS,
+    NUM_CLASSES, SCORE_THRESH_VIS, YOLOV2_TINY_ANCHORS,
+)
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def decode_yolov2(head: jnp.ndarray,
+                  anchors=YOLOV2_TINY_ANCHORS,
+                  num_classes: int = NUM_CLASSES,
+                  input_size: int = INPUT_SIZE):
+    """Decode a (N, S, S, A*(5+C)) head to boxes + class scores.
+
+    darknet semantics: for each cell (row, col) and anchor a with raw
+    (tx, ty, tw, th, to, logits):
+        bx = (col + sigmoid(tx)) * cell_px     (cell_px = input_size / S)
+        by = (row + sigmoid(ty)) * cell_px
+        bw = anchor_w * exp(tw) * cell_px      (anchors in cell units)
+        bh = anchor_h * exp(th) * cell_px
+        score_c = sigmoid(to) * softmax(logits)_c
+
+    Returns (boxes (N, S*S*A, 4) cxcywh in pixels, scores (N, S*S*A, C)).
+    """
+    n, s, _, _ = head.shape
+    a = len(anchors)
+    head = head.reshape(n, s, s, a, 5 + num_classes)
+    cell_px = input_size / s
+
+    col = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
+    anc = jnp.asarray(anchors, jnp.float32)            # (A, 2) cell units
+
+    bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
+    by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
+    bw = anc[:, 0] * jnp.exp(head[..., 2]) * cell_px
+    bh = anc[:, 1] * jnp.exp(head[..., 3]) * cell_px
+    obj = jax.nn.sigmoid(head[..., 4])
+    cls = jax.nn.softmax(head[..., 5:], axis=-1)
+    scores = obj[..., None] * cls
+
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+
+
+def decode_yolov3(head: jnp.ndarray, anchors_px,
+                  num_classes: int = NUM_CLASSES,
+                  input_size: int = INPUT_SIZE):
+    """YOLOv3 head decode: anchors in pixels, sigmoid class scores."""
+    n, s, _, _ = head.shape
+    a = len(anchors_px)
+    head = head.reshape(n, s, s, a, 5 + num_classes)
+    cell_px = input_size / s
+
+    col = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
+    anc = jnp.asarray(anchors_px, jnp.float32)
+
+    bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
+    by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
+    bw = anc[:, 0] * jnp.exp(head[..., 2])
+    bh = anc[:, 1] * jnp.exp(head[..., 3])
+    obj = jax.nn.sigmoid(head[..., 4])
+    cls = jax.nn.sigmoid(head[..., 5:])                 # multi-label
+    scores = obj[..., None] * cls
+
+    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+    return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+
+
+def cxcywh_to_xyxy(boxes):
+    cx, cy, w, h = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+    if isinstance(boxes, np.ndarray):
+        stack = np.stack
+    else:
+        stack = jnp.stack
+    return stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# IoU
+# ---------------------------------------------------------------------------
+
+def _pairwise_iou_xyxy(b: jnp.ndarray) -> jnp.ndarray:
+    """(K, 4) xyxy -> (K, K) IoU matrix."""
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Device NMS (static shapes; SURVEY.md hard part 1)
+# ---------------------------------------------------------------------------
+
+def _greedy_suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
+                     iou_thresh: float, score_thresh: float) -> jnp.ndarray:
+    """Sorted-candidate greedy NMS. boxes (K,4) sorted by score desc,
+    scores (K,). Returns keep mask (K,) bool."""
+    k = boxes_xyxy.shape[0]
+    iou = _pairwise_iou_xyxy(boxes_xyxy)
+    valid = scores > score_thresh
+
+    def body(i, state):
+        suppressed, keep = state
+        live = jnp.logical_and(jnp.logical_not(suppressed[i]), valid[i])
+        keep = keep.at[i].set(live)
+        row = jnp.logical_and(iou[i] > iou_thresh,
+                              jax.lax.broadcasted_iota(jnp.int32, (k,), 0) > i)
+        suppressed = jnp.where(jnp.logical_and(live, row), True, suppressed)
+        return suppressed, keep
+
+    _, keep = jax.lax.fori_loop(
+        0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=("iou_thresh", "score_thresh", "topk",
+                                   "max_det"))
+def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+               iou_thresh: float = NMS_IOU_THRESH,
+               score_thresh: float = SCORE_THRESH_VIS,
+               topk: int = MAX_DETECTIONS,
+               max_det: int = MAX_DETECTIONS):
+    """On-device per-class NMS with fully static shapes.
+
+    boxes: (B, M, 4) cxcywh; scores: (B, M, C).
+    Returns (boxes (B, D, 4) xyxy, scores (B, D), classes (B, D) int32),
+    zero-padded, sorted by score desc. D = max_det.
+    """
+    b_xyxy = cxcywh_to_xyxy(boxes)
+
+    def per_class(bx, sc):           # bx (M,4), sc (M,)
+        sc_k, idx = jax.lax.top_k(sc, topk)
+        bk = bx[idx]
+        keep = _greedy_suppress(bk, sc_k, iou_thresh, score_thresh)
+        return bk, jnp.where(keep, sc_k, 0.0)
+
+    def per_image(bx, sc):           # bx (M,4), sc (M,C)
+        c = sc.shape[-1]
+        bk, sk = jax.vmap(per_class, in_axes=(None, 1))(bx, sc)  # (C,K,...)
+        cls = jax.lax.broadcasted_iota(jnp.int32, (c, sk.shape[1]), 0)
+        bk, sk, cls = (bk.reshape(-1, 4), sk.reshape(-1), cls.reshape(-1))
+        s_top, i_top = jax.lax.top_k(sk, max_det)
+        return bk[i_top], s_top, cls[i_top]
+
+    return jax.vmap(per_image)(b_xyxy, scores)
+
+
+# ---------------------------------------------------------------------------
+# Host NMS (numpy oracle, reference-style P3)
+# ---------------------------------------------------------------------------
+
+def host_nms(boxes: np.ndarray, scores: np.ndarray,
+             iou_thresh: float = NMS_IOU_THRESH,
+             score_thresh: float = SCORE_THRESH_VIS,
+             max_det: int = MAX_DETECTIONS):
+    """Per-class greedy NMS for one image on host.
+
+    boxes (M, 4) cxcywh, scores (M, C). Returns (boxes_xyxy (D,4),
+    scores (D,), classes (D,)) for the D <= max_det survivors, score-desc.
+    """
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    bx = np.asarray(cxcywh_to_xyxy(boxes))
+    out_b, out_s, out_c = [], [], []
+    for c in range(scores.shape[1]):
+        sc = scores[:, c]
+        cand = np.where(sc > score_thresh)[0]
+        cand = cand[np.argsort(-sc[cand], kind="stable")]
+        kept = []
+        for i in cand:
+            ok = True
+            for j in kept:
+                if _iou_single(bx[i], bx[j]) > iou_thresh:
+                    ok = False
+                    break
+            if ok:
+                kept.append(i)
+        for i in kept:
+            out_b.append(bx[i]); out_s.append(sc[i]); out_c.append(c)
+    if not out_b:
+        return (np.zeros((0, 4), np.float32), np.zeros((0,), np.float32),
+                np.zeros((0,), np.int32))
+    order = np.argsort(-np.asarray(out_s), kind="stable")[:max_det]
+    return (np.asarray(out_b, np.float32)[order],
+            np.asarray(out_s, np.float32)[order],
+            np.asarray(out_c, np.int32)[order])
+
+
+def _iou_single(a, b) -> float:
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
+    ua = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+    ub = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+    return float(inter / max(ua + ub - inter, 1e-9))

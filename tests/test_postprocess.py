@@ -1,0 +1,86 @@
+"""Decode + NMS tests (reference P2/P3; SURVEY.md hard part 1: device NMS
+must be bit-compared against host NMS)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_inference_engine_tpu.postprocess import (
+    cxcywh_to_xyxy, decode_yolov2, device_nms, host_nms,
+)
+
+
+def test_decode_shapes():
+    head = jnp.zeros((2, 13, 13, 125))
+    boxes, scores = decode_yolov2(head)
+    assert boxes.shape == (2, 845, 4)
+    assert scores.shape == (2, 845, 20)
+
+
+def test_decode_numpy_parity(rng):
+    """Decode matches an independent numpy implementation."""
+    head = rng.standard_normal((1, 2, 2, 125)).astype(np.float32)
+    boxes, scores = decode_yolov2(jnp.asarray(head), input_size=64)
+    boxes, scores = np.asarray(boxes), np.asarray(scores)
+
+    from dnn_inference_engine_tpu.config import YOLOV2_TINY_ANCHORS
+    h = head.reshape(1, 2, 2, 5, 25)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    cell = 64 / 2
+    for r in range(2):
+        for c in range(2):
+            for a in range(5):
+                i = (r * 2 + c) * 5 + a
+                t = h[0, r, c, a]
+                np.testing.assert_allclose(
+                    boxes[0, i, 0], (c + sig(t[0])) * cell, rtol=1e-5)
+                np.testing.assert_allclose(
+                    boxes[0, i, 1], (r + sig(t[1])) * cell, rtol=1e-5)
+                np.testing.assert_allclose(
+                    boxes[0, i, 2],
+                    YOLOV2_TINY_ANCHORS[a][0] * np.exp(t[2]) * cell, rtol=1e-5)
+                e = np.exp(t[5:] - t[5:].max())
+                sm = e / e.sum()
+                np.testing.assert_allclose(
+                    scores[0, i], sig(t[4]) * sm, rtol=1e-4)
+
+
+def test_device_nms_matches_host(rng):
+    m, c = 200, 4
+    boxes = np.stack([
+        rng.uniform(50, 350, m), rng.uniform(50, 350, m),
+        rng.uniform(10, 80, m), rng.uniform(10, 80, m)], axis=-1).astype(np.float32)
+    scores = (rng.uniform(0, 1, (m, c)) ** 3).astype(np.float32)
+
+    db, ds, dc = device_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                            iou_thresh=0.45, score_thresh=0.3,
+                            topk=m, max_det=64)
+    hb, hs, hc = host_nms(boxes, scores, iou_thresh=0.45, score_thresh=0.3,
+                          max_det=64)
+    ds, dc, db = np.asarray(ds[0]), np.asarray(dc[0]), np.asarray(db[0])
+    n_dev = int((ds > 0).sum())
+    assert n_dev == len(hs), (n_dev, len(hs))
+    # same survivors in same score order
+    np.testing.assert_allclose(ds[:n_dev], hs, rtol=1e-6)
+    np.testing.assert_array_equal(dc[:n_dev], hc)
+    np.testing.assert_allclose(db[:n_dev], hb, rtol=1e-5)
+
+
+def test_device_nms_suppresses_overlaps():
+    # two near-identical boxes + one distant box, one class
+    boxes = np.array([[100, 100, 40, 40], [102, 102, 40, 40],
+                      [300, 300, 40, 40]], np.float32)
+    scores = np.array([[0.9], [0.8], [0.7]], np.float32)
+    db, ds, dc = device_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                            iou_thresh=0.45, score_thresh=0.1,
+                            topk=3, max_det=3)
+    kept = np.asarray(ds[0]) > 0
+    assert kept.sum() == 2
+    np.testing.assert_allclose(np.sort(np.asarray(ds[0])[kept])[::-1],
+                               [0.9, 0.7], rtol=1e-6)
+
+
+def test_cxcywh_to_xyxy():
+    b = np.array([[10, 20, 4, 8]], np.float32)
+    np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(b)),
+                               [[8, 16, 12, 24]])
