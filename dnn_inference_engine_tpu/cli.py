@@ -1,0 +1,174 @@
+"""``engine`` CLI (reference L5 driver, SURVEY.md section 2.4 P5).
+
+Replaces the reference's positional sys.argv parsing with subcommands:
+
+  python -m dnn_inference_engine_tpu.cli detect --image img.jpg [--mode w8a8]
+  python -m dnn_inference_engine_tpu.cli bench  --mode w8a8 --batch 32
+  python -m dnn_inference_engine_tpu.cli eval   --voc-dir ... --mode w8a8
+  python -m dnn_inference_engine_tpu.cli serve  --port 8000
+  python -m dnn_inference_engine_tpu.cli calibrate --images dir --out ckpt.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--model", default="yolov2-tiny")
+    p.add_argument("--mode", default="fp32", choices=["fp32", "w8", "w8a8"])
+    p.add_argument("--kernel", default="auto", choices=["auto", "xla", "pallas"])
+    p.add_argument("--weights", default=None,
+                   help=".npz checkpoint / .pkl pytree / darknet .weights; "
+                        "random weights if omitted")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--config", default=None, help="JSON EngineConfig file")
+    p.add_argument("--score-thresh", type=float, default=None)
+
+
+def _build_engine(args):
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    if args.config:
+        cfg = EngineConfig.from_json(args.config)
+    else:
+        cfg = EngineConfig()
+    cfg.model = args.model
+    cfg.mode = args.mode
+    cfg.kernel = args.kernel
+    cfg.batch = args.batch
+    cfg.weights = args.weights or cfg.weights
+    if getattr(args, "score_thresh", None) is not None:
+        cfg.score_thresh = args.score_thresh
+    eng = Engine(cfg).load_weights()
+    eng.prepare()
+    return eng
+
+
+def cmd_detect(args):
+    from dnn_inference_engine_tpu.config import VOC_CLASSES
+    from dnn_inference_engine_tpu.preprocess import (
+        boxes_to_original, draw_boxes, load_image, preprocess_image)
+    eng = _build_engine(args)
+    img = load_image(args.image)
+    x, meta = preprocess_image(img, eng.config.input_size)
+    t0 = time.perf_counter()
+    boxes, scores, classes = eng.detect(x[None])
+    dt = time.perf_counter() - t0
+    n = int((scores[0] > 0).sum())
+    orig = boxes_to_original(boxes[0][:n], meta)
+    for b, s, c in zip(orig, scores[0][:n], classes[0][:n]):
+        name = VOC_CLASSES[c] if c < len(VOC_CLASSES) else str(c)
+        print(f"{name:14s} {s:.3f}  [{b[0]:.0f}, {b[1]:.0f}, {b[2]:.0f}, {b[3]:.0f}]")
+    print(f"# {n} detections in {dt*1e3:.1f} ms (incl. first-call compile)")
+    if args.out:
+        out = draw_boxes(img, orig, scores[0][:n], classes[0][:n], VOC_CLASSES)
+        from PIL import Image
+        Image.fromarray(out).save(args.out)
+        print(f"# wrote {args.out}")
+
+
+def cmd_bench(args):
+    import bench as bench_mod
+    result = bench_mod.run_bench(model=args.model, mode=args.mode,
+                                 kernel=args.kernel, batch=args.batch,
+                                 verbose=True)
+    print(json.dumps(result))
+
+
+def cmd_layer_times(args):
+    eng = _build_engine(args)
+    print(f"# per-layer steady-state times, batch={args.batch}, "
+          f"mode={args.mode}, kernel={args.kernel}")
+    total = 0.0
+    for name, t in eng.layer_times(batch=args.batch):
+        print(f"{name:32s} {t*1e6:10.1f} us")
+        total += t
+    print(f"{'TOTAL conv':32s} {total*1e6:10.1f} us")
+
+
+def cmd_eval(args):
+    from dnn_inference_engine_tpu.eval.voc_dataset import evaluate_voc
+    eng = _build_engine(args)
+    res = evaluate_voc(eng, args.voc_dir, split=args.split,
+                       limit=args.limit)
+    print(json.dumps(res, indent=2))
+
+
+def cmd_serve(args):
+    from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
+    eng = _build_engine(args)
+    batcher = ContinuousBatcher(eng).start()
+    batcher.serve_http(args.port)
+    print(f"# serving {args.model} {args.mode} on :{args.port} "
+          f"(max_batch={batcher.max_batch}); /stats for metrics")
+    try:
+        while True:
+            time.sleep(10)
+            print(json.dumps(batcher.stats()))
+    except KeyboardInterrupt:
+        batcher.stop()
+
+
+def cmd_calibrate(args):
+    import glob
+    from dnn_inference_engine_tpu.preprocess import load_image, preprocess_image
+    eng = _build_engine(args)
+    files = sorted(glob.glob(args.images + "/*"))[:args.limit]
+    imgs = np.stack([preprocess_image(load_image(f),
+                                      eng.config.input_size)[0]
+                     for f in files])
+    eng.act_scales = None
+    eng.prepare(calib_images=imgs)
+    eng.save(args.out)
+    print(f"# calibrated on {len(imgs)} images -> {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("detect", help="run detection on one image")
+    _add_common(p)
+    p.add_argument("--image", required=True)
+    p.add_argument("--out", default=None, help="write annotated image here")
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("bench", help="throughput/latency benchmark")
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("layer-times", help="per-layer timing report (E2)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_layer_times)
+
+    p = sub.add_parser("eval", help="VOC mAP evaluation")
+    _add_common(p)
+    p.add_argument("--voc-dir", required=True)
+    p.add_argument("--split", default="2007_test")
+    p.add_argument("--limit", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("serve", help="continuous-batching server")
+    _add_common(p)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("calibrate", help="calibrate activation scales")
+    _add_common(p)
+    p.add_argument("--images", required=True)
+    p.add_argument("--limit", type=int, default=64)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_calibrate)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,9 +112,18 @@ def voc_map(detections: Sequence[Dict], ground_truth: Sequence[Dict],
         voc_eval(detections, ground_truth, c, iou_thresh, use_07_metric)
         for c in range(num_classes)
     ]
-    present = [c for c in range(num_classes)
-               if any(np.any(np.asarray(gt["classes"]) == c)
-                      for gt in ground_truth)]
+
+    def n_evaluable(c):
+        """non-difficult GT count — classes with only difficult GT have an
+        undefined AP and are excluded (standard VOC behavior)."""
+        n = 0
+        for gt in ground_truth:
+            cls = np.asarray(gt["classes"])
+            diff = np.asarray(gt.get("difficult", np.zeros(len(cls), bool)))
+            n += int(np.sum((cls == c) & ~diff))
+        return n
+
+    present = [c for c in range(num_classes) if n_evaluable(c) > 0]
     if not present:
         return 0.0, aps
     return float(np.mean([aps[c] for c in present])), aps

@@ -157,6 +157,7 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     zero-padded, sorted by score desc. D = max_det.
     """
     b_xyxy = cxcywh_to_xyxy(boxes)
+    topk = min(topk, boxes.shape[1])          # fewer candidates than top-K
 
     def per_class(bx, sc):           # bx (M,4), sc (M,)
         sc_k, idx = jax.lax.top_k(sc, topk)
@@ -169,8 +170,15 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
         bk, sk = jax.vmap(per_class, in_axes=(None, 1))(bx, sc)  # (C,K,...)
         cls = jax.lax.broadcasted_iota(jnp.int32, (c, sk.shape[1]), 0)
         bk, sk, cls = (bk.reshape(-1, 4), sk.reshape(-1), cls.reshape(-1))
-        s_top, i_top = jax.lax.top_k(sk, max_det)
-        return bk[i_top], s_top, cls[i_top]
+        d = min(max_det, sk.shape[0])
+        s_top, i_top = jax.lax.top_k(sk, d)
+        bk, cls = bk[i_top], cls[i_top]
+        if d < max_det:               # keep the advertised static shape
+            pad = max_det - d
+            bk = jnp.pad(bk, ((0, pad), (0, 0)))
+            s_top = jnp.pad(s_top, (0, pad))
+            cls = jnp.pad(cls, (0, pad))
+        return bk, s_top, cls
 
     return jax.vmap(per_image)(b_xyxy, scores)
 

@@ -21,8 +21,12 @@ from dnn_inference_engine_tpu.config import QMAX
 
 
 def quantize_weights_per_channel(w: jnp.ndarray):
-    """Q1: (kh,kw,Cin,Cout) f32 -> int8 codes + (Cout,) f32 scales."""
-    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))          # (Cout,)
+    """Q1: (..., Cout) f32 -> int8 codes + (Cout,) f32 scales.
+
+    Works for conv HWIO (kh,kw,Cin,Cout) and dense (Cin,Cout) weights —
+    scale is per output channel (last axis) in both.
+    """
+    absmax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))   # (Cout,)
     s_w = jnp.maximum(absmax, 1e-12) / QMAX
     wq = jnp.clip(jnp.round(w / s_w), -QMAX, QMAX).astype(jnp.int8)
     return wq, s_w.astype(jnp.float32)

@@ -1,0 +1,195 @@
+"""Engine: compile-once inference runtime (reference L5 driver + E2 timing,
+SURVEY.md sections 2.4 P5, 2.8, 3.5).
+
+Unlike the reference's per-layer Python loop with host round-trips
+(SURVEY.md 3.2), the whole pipeline — quantize input, all conv layers,
+head decode, NMS — is one jitted XLA program; the device boundary is
+crossed exactly twice per batch (input in, boxes out).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_inference_engine_tpu.config import EngineConfig, YOLOV2_TINY_ANCHORS, YOLOV3_TINY_ANCHORS
+from dnn_inference_engine_tpu.models import build_model
+from dnn_inference_engine_tpu.models.weights import (
+    load_checkpoint, load_darknet_weights, load_params, save_checkpoint,
+)
+from dnn_inference_engine_tpu.postprocess import (
+    decode_yolov2, decode_yolov3, device_nms,
+)
+from dnn_inference_engine_tpu.quant.quantize import (
+    calibrate, quantize_model_params,
+)
+
+
+class Engine:
+    """Compiled inference engine for one model/mode/batch configuration."""
+
+    def __init__(self, config: EngineConfig):
+        self.config = config
+        self.model = build_model(config.model, num_classes=config.num_classes)
+        self.params: Optional[List[Dict]] = None       # mode-matching params
+        self.fp32_params: Optional[List[Dict]] = None  # kept for calibration
+        self.act_scales: Optional[List[float]] = None
+        self._detect_fn = None
+        self._forward_fn = None
+
+    # ------------------------------------------------------------------
+    # Weights
+    # ------------------------------------------------------------------
+
+    def load_weights(self, path: Optional[str] = None,
+                     key: Optional[jax.Array] = None) -> "Engine":
+        """Load from .npz checkpoint / .pkl pytree / darknet .weights, or
+        initialize randomly (synthetic-weight mode when no file exists)."""
+        path = path or self.config.weights
+        if path is None:
+            self.fp32_params = self.model.init_params(
+                key if key is not None else jax.random.PRNGKey(0))
+        elif path.endswith(".npz"):
+            params, scales = load_checkpoint(path)
+            if scales is not None:
+                self.act_scales = scales
+            if any("wq" in p for p in params):
+                self.params = params      # already quantized
+                return self
+            self.fp32_params = params
+        elif path.endswith(".weights"):
+            self.fp32_params = load_darknet_weights(self.model, path)
+        else:
+            self.fp32_params = load_params(path)
+        return self
+
+    def prepare(self, calib_images: Optional[np.ndarray] = None) -> "Engine":
+        """Quantize (Q1) + calibrate (Q2) as the mode requires."""
+        mode = self.config.mode
+        if mode == "fp32":
+            self.params = self.fp32_params
+            return self
+        if self.params is None:
+            assert self.fp32_params is not None, "load_weights first"
+            self.params = quantize_model_params(self.fp32_params,
+                                                self.model.layers)
+        if mode == "w8a8" and self.act_scales is None:
+            if calib_images is None:
+                # fallback: uniform-noise calibration (synthetic weights)
+                calib_images = np.random.default_rng(0).uniform(
+                    0, 1, (8, self.config.input_size,
+                           self.config.input_size, 3)).astype(np.float32)
+            assert self.fp32_params is not None, (
+                "w8a8 calibration needs fp32 params")
+            self.act_scales = calibrate(self.model, self.fp32_params,
+                                        calib_images)
+        return self
+
+    def save(self, path: str) -> None:
+        save_checkpoint(path, self.params, self.act_scales)
+
+    # ------------------------------------------------------------------
+    # Compiled functions
+    # ------------------------------------------------------------------
+
+    def _fwd(self, params, x):
+        return self.model.forward(params, x, mode=self.config.mode,
+                                  act_scales=self.act_scales,
+                                  kernel=self.config.kernel)
+
+    def forward_fn(self):
+        if self._forward_fn is None:
+            self._forward_fn = jax.jit(self._fwd)
+        return self._forward_fn
+
+    def _decode(self, heads):
+        c = self.config
+        if self.model.name == "yolov2-tiny":
+            return decode_yolov2(heads, YOLOV2_TINY_ANCHORS,
+                                 c.num_classes, c.input_size)
+        if self.model.name == "yolov3-tiny":
+            h1, h2 = heads
+            b1, s1 = decode_yolov3(h1, YOLOV3_TINY_ANCHORS[3:],
+                                   c.num_classes, c.input_size)
+            b2, s2 = decode_yolov3(h2, YOLOV3_TINY_ANCHORS[:3],
+                                   c.num_classes, c.input_size)
+            return (jnp.concatenate([b1, b2], axis=1),
+                    jnp.concatenate([s1, s2], axis=1))
+        raise ValueError(f"{self.model.name} is not a detector")
+
+    def detect_fn(self):
+        """image batch -> (boxes xyxy, scores, classes), all on device."""
+        if self._detect_fn is None:
+            c = self.config
+
+            def run(params, x):
+                heads = self._fwd(params, x)
+                boxes, scores = self._decode(heads)
+                return device_nms(boxes, scores,
+                                  iou_thresh=c.nms_iou_thresh,
+                                  score_thresh=c.score_thresh,
+                                  topk=c.max_detections,
+                                  max_det=c.max_detections)
+            self._detect_fn = jax.jit(run)
+        return self._detect_fn
+
+    def detect(self, images: np.ndarray):
+        """Preprocessed image batch (N,S,S,3) f32 -> host numpy results."""
+        b, s, cl = self.detect_fn()(self.params, jnp.asarray(images))
+        return np.asarray(b), np.asarray(s), np.asarray(cl)
+
+    def classify(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.forward_fn()(self.params, jnp.asarray(images)))
+
+    # ------------------------------------------------------------------
+    # Timing (reference E2 per-layer report)
+    # ------------------------------------------------------------------
+
+    def layer_times(self, batch: Optional[int] = None,
+                    iters: Tuple[int, int] = (60, 10)) -> List[Tuple[str, float]]:
+        """Steady-state per-layer seconds (separate jits, honest timing)."""
+        from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
+        from dnn_inference_engine_tpu.models.layers import Conv
+        batch = batch or self.config.batch
+        report = []
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (batch, self.config.input_size, self.config.input_size, 3)
+        ).astype(np.float32))
+        # capture per-layer inputs at fp32 then time each conv op tier
+        assert self.fp32_params is not None
+        _, inputs = self.model.forward_fp32(self.fp32_params, x,
+                                            capture_inputs=True)
+        for li, layer in enumerate(self.model.layers):
+            if not isinstance(layer, Conv):
+                continue
+            xin = inputs[li]
+            p = self.params[li]
+            # time the dispatched conv op directly
+            from dnn_inference_engine_tpu.models.model import _get_conv_fn
+            conv_fn = _get_conv_fn(
+                "fp32" if self.config.mode == "fp32" else self.config.mode,
+                self.config.kernel)
+            if self.config.mode == "fp32":
+                f = lambda xx: conv_fn(xx, p["w"], p["b"], act=layer.act,
+                                       stride=layer.stride,
+                                       padding=layer.padding)
+            elif self.config.mode == "w8":
+                f = lambda xx: conv_fn(xx, p["wq"], p["s_w"], p["b"],
+                                       act=layer.act, stride=layer.stride,
+                                       padding=layer.padding)
+            else:
+                s_in = jnp.float32(self.act_scales[li])
+                from dnn_inference_engine_tpu.quant.quantize import quantize_act
+                xin_q = quantize_act(xin, s_in)
+                f = lambda xx: conv_fn(xx, s_in, p["wq"], p["s_w"], p["b"],
+                                       act=layer.act, stride=layer.stride,
+                                       padding=layer.padding)
+                xin = xin_q
+            t = per_iter_time(f, (xin,), iters_hi=iters[0], iters_lo=iters[1])
+            report.append((f"layer{li} conv{layer.ksize}x{layer.ksize}"
+                           f"->{layer.out_ch}", t))
+        return report

@@ -1,0 +1,65 @@
+"""Engine runtime tests (reference L5 driver behavior; SURVEY.md 2.4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dnn_inference_engine_tpu.config import EngineConfig
+from dnn_inference_engine_tpu.runtime.engine import Engine
+
+
+def _small_cfg(**kw):
+    kw.setdefault("model", "yolov2-tiny")
+    kw.setdefault("input_size", 64)
+    return EngineConfig(**kw)
+
+
+def test_engine_fp32_detect(rng):
+    eng = Engine(_small_cfg(mode="fp32")).load_weights().prepare()
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    boxes, scores, classes = eng.detect(x)
+    assert boxes.shape == (1, 128, 4)
+    assert scores.shape == (1, 128)
+    assert classes.shape == (1, 128)
+
+
+def test_engine_w8a8_close_to_fp32(rng):
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+    ef = Engine(_small_cfg(mode="fp32")).load_weights(key=key).prepare()
+    eq = Engine(_small_cfg(mode="w8a8")).load_weights(key=key).prepare(
+        calib_images=x)
+    hf = ef.forward_fn()(ef.params, x)
+    hq = eq.forward_fn()(eq.params, x)
+    rel = np.abs(np.asarray(hq) - np.asarray(hf)).max() / (
+        np.abs(np.asarray(hf)).max() + 1e-9)
+    assert rel < 0.1, rel
+
+
+def test_engine_checkpoint_roundtrip(tmp_path, rng):
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    eng = Engine(_small_cfg(mode="w8a8")).load_weights().prepare(calib_images=x)
+    path = str(tmp_path / "eng.npz")
+    eng.save(path)
+
+    eng2 = Engine(_small_cfg(mode="w8a8", weights=path)).load_weights().prepare()
+    assert eng2.act_scales is not None
+    out1 = np.asarray(eng.forward_fn()(eng.params, x))
+    out2 = np.asarray(eng2.forward_fn()(eng2.params, x))
+    np.testing.assert_allclose(out1, out2, rtol=1e-6)
+
+
+def test_engine_classify_resnet(rng):
+    eng = Engine(EngineConfig(model="resnet18", mode="w8", input_size=64,
+                              num_classes=1000)).load_weights().prepare()
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    out = eng.classify(x)
+    assert out.shape == (2, 1000)
+
+
+def test_engine_yolov3_detect(rng):
+    eng = Engine(EngineConfig(model="yolov3-tiny", mode="fp32",
+                              input_size=64)).load_weights().prepare()
+    x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    boxes, scores, classes = eng.detect(x)
+    assert boxes.shape == (1, 128, 4)

@@ -1,0 +1,88 @@
+"""Sharding tests on the 8-device CPU mesh (SURVEY.md section 4.4:
+distributed logic validated without a pod slice)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dnn_inference_engine_tpu.models import build_model, yolov2_tiny
+from dnn_inference_engine_tpu.parallel.mesh import make_mesh
+from dnn_inference_engine_tpu.parallel.sharding import (
+    channel_shard_pair, make_sharded_forward, param_specs, shard_params,
+    input_sharding,
+)
+from dnn_inference_engine_tpu.quant.quantize import calibrate, quantize_model_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def test_channel_pair_yolov2():
+    model = yolov2_tiny()
+    assert channel_shard_pair(model) == (12, 13)   # conv7, conv8
+
+
+def test_param_specs_channel():
+    model = yolov2_tiny()
+    specs = param_specs(model, "channel")
+    assert specs[12]["w"] == P(None, None, None, "model")
+    assert specs[13]["w"] == P(None, None, "model", None)
+    assert specs[0]["w"] == P()
+
+
+@pytest.mark.parametrize("mesh_shape,policy", [
+    ((8, 1), "replicated"),        # pure DP
+    ((4, 2), "channel"),           # DP x TP
+    ((2, 4), "channel"),
+])
+def test_sharded_forward_matches_single_device(rng, mesh_shape, policy):
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    scales = calibrate(model, params, images[:4], batch=4)
+    qparams = quantize_model_params(params, model.layers)
+
+    ref = np.asarray(model.forward_w8a8(qparams, scales, jnp.asarray(images)))
+
+    mesh = make_mesh(mesh_shape)
+    sharded = shard_params(qparams, mesh, model, policy)
+    fwd = make_sharded_forward(model, mesh, mode="w8a8", act_scales=scales)
+    x = jax.device_put(jnp.asarray(images), input_sharding(mesh))
+    got = np.asarray(fwd(sharded, x))
+
+    if policy == "channel":
+        # GSPMD converts the Cin-sharded conv's int32 partial sums to f32
+        # before the psum; accumulator magnitudes (~K*127^2 ~ 1.5e8) exceed
+        # f32's exact-integer range, so a small fraction of requantized
+        # codes flip by 1 vs the single-chip int32 accumulation. Bound the
+        # resulting noise instead of demanding bit equality (fp32 test
+        # below proves the collectives themselves are correct).
+        rel = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+        assert rel < 0.02, rel
+        assert np.mean(np.isclose(got, ref, rtol=1e-4, atol=1e-4)) > 0.8
+    else:
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_fp32_forward(rng):
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    ref = np.asarray(model.forward_fp32(params, jnp.asarray(images)))
+
+    mesh = make_mesh((4, 2))
+    sharded = shard_params(params, mesh, model, "channel")
+    fwd = make_sharded_forward(model, mesh, mode="fp32")
+    x = jax.device_put(jnp.asarray(images), input_sharding(mesh))
+    got = np.asarray(fwd(sharded, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_channel_pair_other_models():
+    v3 = build_model("yolov3-tiny")
+    pair = channel_shard_pair(v3)
+    assert pair is not None
+    r18 = build_model("resnet18")
+    assert channel_shard_pair(r18) is not None
