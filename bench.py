@@ -42,7 +42,7 @@ def run_bench(model: str = "yolov2-tiny", mode: str = "w8a8",
     x = jnp.asarray(rng.uniform(0, 1, (batch, eng.config.input_size,
                                        eng.config.input_size, 3)), jnp.float32)
 
-    fwd = lambda xx: eng._fwd(eng.params, xx)
+    fwd = lambda xx: eng._fwd(eng.exec_params, xx)
     log(f"timing {model} {mode} kernel={kernel} batch={batch} on",
         jax.default_backend())
     t = per_iter_time(fwd, (x,), iters_hi=60, iters_lo=10)
@@ -54,13 +54,13 @@ def run_bench(model: str = "yolov2-tiny", mode: str = "w8a8",
     eng1 = Engine(cfg1).load_weights(key=jax.random.PRNGKey(0)).prepare()
     x1 = x[:1]
     det = eng1.detect_fn()
-    t_lat = wall_time(lambda xx: det(eng1.params, xx), (x1,))
+    t_lat = wall_time(lambda xx: det(eng1.exec_params, xx), (x1,))
     log(f"p50 single-image detect latency: {t_lat*1e3:.2f} ms "
         f"(incl. relay round trip)")
 
     # baseline: fp32 XLA forward, same batch
     engb = build(baseline_mode)
-    fwdb = lambda xx: engb._fwd(engb.params, xx)
+    fwdb = lambda xx: engb._fwd(engb.exec_params, xx)
     tb = per_iter_time(fwdb, (x,), iters_hi=60, iters_lo=10)
     log(f"{baseline_mode} baseline: {tb*1e3:.3f} ms/batch -> "
         f"{batch/tb:.0f} images/s")

@@ -1,0 +1,318 @@
+"""Row-streaming implicit-im2col Pallas conv kernel + space-to-depth folding.
+
+Motivation (measured on v5e, batch 32): XLA's int8 conv emitter is fast
+only at isolated shapes ((52,52,64)->128: 38us) and falls off a cliff
+elsewhere (conv1 416x416x3->16: ~7.8ms vs a ~130us bandwidth floor;
+conv2 208x208x16->32: ~4.4ms). The reference's answer at this tier was a
+hand-written AVX/CUDA GEMM (SURVEY.md K3/K5); ours is this kernel plus an
+exact space-to-depth reformulation of the early layers.
+
+The kernel (conv3x3_rs):
+- NHWC int8 activations, spatially pre-padded: W rounded up to a
+  sublane-tileable width, channels padded to a lane-tileable multiple of
+  128 (zero channels multiply zero weight rows — exact);
+- the grid streams row-tiles; the 2 halo rows each tile needs beyond its
+  block are delivered as a second, pre-extracted input (BlockSpec cannot
+  express overlapping blocks; a (nblocks, 2, W, C) side tensor can) —
+  the standard pallas pipeline double-buffers both;
+- the 3x3 patch matrix A_cat (Ht*W32, 9*C) is assembled in VMEM (lane
+  offsets are 128-aligned because C is), then hits the MXU as ONE int8
+  GEMM against the resident (9*C, Cout) weight matrix;
+- the epilogue fuses dequant + bias + leaky-ReLU + requantize AND the
+  following maxpool: 'pool2' (spatial 2x2/s2) or 'gmax' (the pooling of
+  a folded layer = max over position-channel groups).
+
+Space-to-depth folding (fold_conv3x3_weights, fold f): conv3x3/s1 on
+(H, W, Cin) becomes conv3x3/s1 on (H/f, W/f, f^2*Cin) with f^2*Cout
+outputs (one per output position in the f x f block). EXACT in int8:
+the same multiply-accumulate set reassociated (int32 accumulation is
+order-independent); folded SAME padding references only zero rows.
+Folds COMPOSE through pooling: pooling a fold-f layer's output by 2x2/s2
+(as channel group-max) yields exactly the fold-(f/2) layout of the
+pooled tensor — so YOLOv2-tiny's conv1(f=8) -> pool -> conv2(f=4) ->
+pool -> conv3(f=2) -> pool all run at a constant 52x52 spatial grid with
+MXU-dense channel counts. See runtime/plan.py for the pipeline assembly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dnn_inference_engine_tpu.config import LEAKY_SLOPE, QMAX
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth fold transforms (exact; host/XLA side)
+# ---------------------------------------------------------------------------
+
+def space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """(N,H,W,C) -> (N,H/f,W/f,f*f*C), channel order (p, q, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    """Inverse of space_to_depth."""
+    n, h, w, c = x.shape
+    c0 = c // (f * f)
+    x = x.reshape(n, h, w, f, f, c0)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, c0)
+
+
+def fold_conv3x3_weights(w: np.ndarray, f: int = 2) -> np.ndarray:
+    """(3,3,Cin,Cout) -> (3,3,f^2*Cin,f^2*Cout) folded weights.
+
+    Wf[di+1, dj+1, (p*f+q)*Cin+c, (r*f+s)*Cout+co] = W[dh+1, dw+1, c, co]
+    with dh = f*di + p - r, dw = f*dj + q - s when both lie in {-1,0,1}
+    (zero otherwise). Output channel group (r*f+s) holds the conv output
+    at position (r, s) inside each f x f block.
+    """
+    assert w.shape[0] == w.shape[1] == 3
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    w = np.asarray(w)
+    wf = np.zeros((3, 3, f * f * cin, f * f * cout), w.dtype)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            for p in range(f):
+                for q in range(f):
+                    for r in range(f):
+                        for s in range(f):
+                            dh = f * di + p - r
+                            dw = f * dj + q - s
+                            if dh in (-1, 0, 1) and dw in (-1, 0, 1):
+                                wf[di + 1, dj + 1,
+                                   (p * f + q) * cin:(p * f + q + 1) * cin,
+                                   (r * f + s) * cout:(r * f + s + 1) * cout] \
+                                    = w[dh + 1, dw + 1]
+    return wf
+
+
+def fold_group_pool_channels(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
+    """Pool a fold-f layer's output by the original 2x2/s2 maxpool.
+
+    y: (..., f*f*cout) with groups (r*f+s). Positions (r,s)=(2a+u,2b+v)
+    pool over (u,v), giving (..., (f/2)^2*cout) in fold-(f/2) layout
+    (groups (a*(f/2)+b)) — exactly s2d(f/2) of the pooled tensor.
+    """
+    fo = f // 2
+    lead = y.shape[:-1]
+    y = y.reshape(*lead, fo, 2, fo, 2, cout)
+    y = jnp.max(y, axis=(-4, -2))
+    return y.reshape(*lead, fo * fo * cout)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
+                    acat,
+                    *, W, W32, Ht, cin0, cin, cout, act, quantize_out, pool):
+    # window = this row-block + the 2 halo rows below it
+    xwin = jnp.concatenate([xb_ref[0], halo_ref[0, 0]], axis=0)
+    if cin != cin0:
+        # lane-pad channels in VMEM: HBM traffic stays at the true Cin
+        xwin = jnp.pad(xwin, ((0, 0), (0, 0), (0, cin - cin0)))
+
+    # assemble the implicit-im2col matrix in VMEM (C is 128-aligned, so
+    # every lane write is tile-aligned)
+    for dh in range(3):
+        for dw in range(3):
+            j = dh * 3 + dw
+            sl = jax.lax.slice(xwin, (dh, dw, 0), (dh + Ht, dw + W32, cin))
+            acat[:, j * cin:(j + 1) * cin] = sl.reshape(Ht * W32, cin)
+
+    acc = jnp.dot(acat[:, :], w_ref[:],
+                  preferred_element_type=jnp.int32)      # (Ht*W32, cout)
+
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if act == "leaky":
+        y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    # zero the junk columns (w >= W) so downstream halo pads stay zero
+    col = jax.lax.broadcasted_iota(jnp.int32, (Ht * W32, 1), 0) % W32
+    y = jnp.where(col < W, y, 0.0)
+    if quantize_out:
+        y = jnp.clip(jnp.round(y), -QMAX, QMAX)
+
+    # Mosaic supports only simple splits of the sublane dim; express the
+    # pools as slice+max instead of multi-dim reshapes.
+    mt = Ht * W32
+    if isinstance(pool, tuple) and pool[0] == "gmax":
+        _, f, co = pool
+        fo = f // 2
+        groups = []
+        for a in range(fo):
+            for b in range(fo):
+                m = None
+                for u in (0, 1):
+                    for v in (0, 1):
+                        idx = ((2 * a + u) * f + (2 * b + v)) * co
+                        sl = jax.lax.slice(y, (0, idx), (mt, idx + co))
+                        m = sl if m is None else jnp.maximum(m, sl)
+                groups.append(m)
+        y = jnp.concatenate(groups, axis=1) if len(groups) > 1 else groups[0]
+        out = y.reshape(Ht, W32, fo * fo * co)
+    elif pool == "pool2":
+        y3 = y.reshape(Ht, W32, cout)
+        out = jnp.maximum(
+            jnp.maximum(y3[0::2, 0::2], y3[0::2, 1::2]),
+            jnp.maximum(y3[1::2, 0::2], y3[1::2, 1::2]))
+    elif pool is None:
+        out = y.reshape(Ht, W32, cout)
+    else:
+        raise ValueError(pool)
+    out_ref[:] = out.astype(out_ref.dtype)[None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "quantize_out", "pool", "ht", "interpret"))
+def conv3x3_rs(
+    x: jnp.ndarray,            # (N, H, W, Cin) int8 (NHWC)
+    w: jnp.ndarray,            # (3, 3, Cin, Cout) int8
+    scale: jnp.ndarray,        # (Cout,) f32 folded dequant scale
+    bias: jnp.ndarray,         # (Cout,) f32 (already includes /s_out)
+    act: str = "leaky",
+    quantize_out: bool = True,
+    pool: Union[None, str, Tuple] = None,  # None | 'pool2' | ('gmax', f, co)
+    ht: int = 0,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fused 3x3/s1/SAME conv (+ pool) via the row-streaming Pallas kernel.
+
+    Output: pool None -> (N,H,W,Cout); 'pool2' -> (N,H/2,W/2,Cout);
+    ('gmax', f, co) -> (N,H,W,(f/2)^2*co).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, cin0 = x.shape
+    assert w.shape[:3] == (3, 3, cin0), (w.shape, x.shape)
+    cout = int(w.shape[3])
+
+    # channels are lane-padded to a multiple of 128 inside the kernel
+    # (exact: the matching weight rows are zero); only the weights pad here
+    cin = _round_up(cin0, 128)
+    if cin != cin0:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin - cin0), (0, 0)))
+
+    w32 = _round_up(wd, 64 if pool == "pool2" else 32)
+    wp = w32 + 32                  # halo container width (sublane-tileable)
+    k = 9 * cin                    # multiple of 128 already
+
+    if not ht:
+        for cand in (16, 13, 8, 4, 2, 1):
+            if h % cand == 0 and cand * w32 * (k + 4 * cout) < 11_000_000:
+                ht = cand
+                break
+    assert h % ht == 0, (h, ht)
+    if pool == "pool2":
+        assert ht % 2 == 0
+
+    # spatial pre-pad: SAME halo (1 top/left) + tail up to wp / h+2
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, 0)))
+    nb = h // ht
+    # halo rows for block i: padded rows [i*ht + ht, i*ht + ht + 2)
+    h1 = xp[:, ht::ht][:, :nb]                      # (N, nb, wp, cin)
+    h2 = xp[:, ht + 1::ht][:, :nb]
+    halo = jnp.stack([h1, h2], axis=2)              # (N, nb, 2, wp, cin)
+    xblk = xp[:, :h]                                # (N, h, wp, cin) rows i*ht..
+
+    wmat = w.reshape(k, cout)
+    scale2 = scale.astype(jnp.float32).reshape(1, cout)
+    bias2 = bias.astype(jnp.float32).reshape(1, cout)
+
+    if pool is None:
+        out_shape = (n, h, w32, cout)
+        blk = (1, ht, w32, cout)
+    elif pool == "pool2":
+        out_shape = (n, h // 2, w32 // 2, cout)
+        blk = (1, ht // 2, w32 // 2, cout)
+    else:
+        _, f, co = pool
+        c_out_g = (f // 2) ** 2 * co
+        out_shape = (n, h, w32, c_out_g)
+        blk = (1, ht, w32, c_out_g)
+
+    out_dtype = jnp.int8 if quantize_out else jnp.float32
+    kernel = functools.partial(
+        _conv_rs_kernel, W=wd, W32=w32, Ht=ht, cin0=cin0, cin=cin,
+        cout=cout, act=act, quantize_out=quantize_out, pool=pool)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, ht, wp, cin0), lambda nn, ii: (nn, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, wp, cin0),
+                         lambda nn, ii: (nn, ii, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, cout), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            blk, lambda nn, ii: (nn, ii, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ht * w32, k), jnp.int8),        # A_cat
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w32 * k * cout,
+            bytes_accessed=int(xblk.size + halo.size + wmat.size
+                               + np.prod(out_shape)),
+            transcendentals=0),
+        interpret=interpret,
+    )(xblk, halo, wmat, scale2, bias2)
+
+    # strip the W padding
+    if pool == "pool2":
+        return out[:, :, :wd // 2, :]
+    return out[:, :, :wd, :]
+
+
+# ---------------------------------------------------------------------------
+# W8A8 layer wrappers
+# ---------------------------------------------------------------------------
+
+def conv2d_w8a8_rs(xq, s_in, wq, s_w, b, act="leaky", s_out=None,
+                   pool: Union[None, str, Tuple] = None):
+    """Row-streaming W8A8 conv (+ fused pool). Same numerics as
+    ops.conv.conv2d_w8a8 (+ ops.pool.maxpool for 'pool2')."""
+    scale = (s_in * s_w).astype(jnp.float32)
+    bias = b.astype(jnp.float32)
+    if s_out is not None:
+        scale = scale / s_out
+        bias = bias / s_out
+    return conv3x3_rs(xq, wq, scale, bias, act=act,
+                      quantize_out=s_out is not None, pool=pool)
+
+
+def folded_stage_params(wq: np.ndarray, s_w: np.ndarray, b: np.ndarray,
+                        f: int):
+    """Fold a quantized conv's params: weights fold; per-channel scale and
+    bias tile across the f^2 position groups."""
+    wf = fold_conv3x3_weights(np.asarray(wq), f)
+    reps = f * f
+    return wf, np.tile(np.asarray(s_w), reps), np.tile(np.asarray(b), reps)

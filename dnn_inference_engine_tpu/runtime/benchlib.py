@@ -47,7 +47,8 @@ def _chained_loop(fn: Callable, n_iters: int):
 
 def per_iter_time(fn: Callable, args: Sequence, iters_hi: int = 0,
                   iters_lo: int = 0, reps: int = 3,
-                  target_delta_s: float = 0.12, max_iters: int = 2000) -> float:
+                  target_delta_s: float = 0.12, max_iters: int = 2000,
+                  stat: str = "median") -> float:
     """Median steady-state seconds per invocation of ``fn(*args)``.
 
     When iteration counts are not given, auto-scales them so the timed
@@ -81,7 +82,8 @@ def per_iter_time(fn: Callable, args: Sequence, iters_hi: int = 0,
         np.asarray(hi(*args))
         t_hi = time.perf_counter() - t0
         deltas.append((t_hi - t_lo) / (iters_hi - iters_lo))
-    return float(np.median(deltas))
+    # 'min' approximates uncontended kernel speed on a shared device pool
+    return float(np.min(deltas) if stat == "min" else np.median(deltas))
 
 
 def wall_time(fn: Callable, args: Sequence, reps: int = 5) -> float:

@@ -40,6 +40,8 @@ class Engine:
         self.act_scales: Optional[List[float]] = None
         self._detect_fn = None
         self._forward_fn = None
+        self._plan = None             # fused stage plan (runtime/plan.py)
+        self._plan_params = None
 
     # ------------------------------------------------------------------
     # Weights
@@ -77,6 +79,13 @@ class Engine:
             assert self.fp32_params is not None, "load_weights first"
             self.params = quantize_model_params(self.fp32_params,
                                                 self.model.layers)
+        if mode == "w8a8" and self.config.kernel == "auto":
+            from dnn_inference_engine_tpu.runtime.plan import (
+                build_plan, prepare_plan_params)
+            self._plan = build_plan(self.model)
+            if self._plan is not None:
+                self._plan_params = prepare_plan_params(
+                    self.model, self.params, self._plan)
         if mode == "w8a8" and self.act_scales is None:
             if calib_images is None:
                 # fallback: uniform-noise calibration (synthetic weights)
@@ -96,7 +105,18 @@ class Engine:
     # Compiled functions
     # ------------------------------------------------------------------
 
+    @property
+    def exec_params(self):
+        """Params pytree the compiled functions take (plan params when a
+        fused plan is active) — passed as jit arguments, not baked
+        constants."""
+        return self._plan_params if self._plan is not None else self.params
+
     def _fwd(self, params, x):
+        if self._plan is not None:
+            from dnn_inference_engine_tpu.runtime.plan import plan_forward_w8a8
+            return plan_forward_w8a8(self.model, self._plan, params,
+                                     self.act_scales, x)
         return self.model.forward(params, x, mode=self.config.mode,
                                   act_scales=self.act_scales,
                                   kernel=self.config.kernel)
@@ -139,11 +159,12 @@ class Engine:
 
     def detect(self, images: np.ndarray):
         """Preprocessed image batch (N,S,S,3) f32 -> host numpy results."""
-        b, s, cl = self.detect_fn()(self.params, jnp.asarray(images))
+        b, s, cl = self.detect_fn()(self.exec_params, jnp.asarray(images))
         return np.asarray(b), np.asarray(s), np.asarray(cl)
 
     def classify(self, images: np.ndarray) -> np.ndarray:
-        return np.asarray(self.forward_fn()(self.params, jnp.asarray(images)))
+        return np.asarray(
+            self.forward_fn()(self.exec_params, jnp.asarray(images)))
 
     # ------------------------------------------------------------------
     # Timing (reference E2 per-layer report)

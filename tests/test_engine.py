@@ -29,8 +29,8 @@ def test_engine_w8a8_close_to_fp32(rng):
     ef = Engine(_small_cfg(mode="fp32")).load_weights(key=key).prepare()
     eq = Engine(_small_cfg(mode="w8a8")).load_weights(key=key).prepare(
         calib_images=x)
-    hf = ef.forward_fn()(ef.params, x)
-    hq = eq.forward_fn()(eq.params, x)
+    hf = ef.forward_fn()(ef.exec_params, x)
+    hq = eq.forward_fn()(eq.exec_params, x)
     rel = np.abs(np.asarray(hq) - np.asarray(hf)).max() / (
         np.abs(np.asarray(hf)).max() + 1e-9)
     assert rel < 0.1, rel
@@ -44,8 +44,8 @@ def test_engine_checkpoint_roundtrip(tmp_path, rng):
 
     eng2 = Engine(_small_cfg(mode="w8a8", weights=path)).load_weights().prepare()
     assert eng2.act_scales is not None
-    out1 = np.asarray(eng.forward_fn()(eng.params, x))
-    out2 = np.asarray(eng2.forward_fn()(eng2.params, x))
+    out1 = np.asarray(eng.forward_fn()(eng.exec_params, x))
+    out2 = np.asarray(eng2.forward_fn()(eng2.exec_params, x))
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
 

@@ -1,0 +1,129 @@
+"""Row-streaming Pallas conv kernel tests: parity with the XLA-tier W8A8
+conv + maxpool, exactness of space-to-depth folds, and the composed
+fold-pipeline (conv1 f=8 -> conv2 f=4 -> conv3 f=2) against the plain
+layer chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dnn_inference_engine_tpu.ops.conv import conv2d_fp32, conv2d_w8a8
+from dnn_inference_engine_tpu.ops.pallas_conv import (
+    conv2d_w8a8_rs, conv3x3_rs, fold_conv3x3_weights, fold_group_pool_channels,
+    folded_stage_params, space_to_depth,
+)
+from dnn_inference_engine_tpu.ops.pool import maxpool
+
+
+def _mk(rng, n, h, w, cin, cout):
+    xq = jnp.asarray(rng.integers(-127, 128, (n, h, w, cin)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout)), jnp.int8)
+    s_w = jnp.asarray(rng.uniform(1e-3, 1e-2, cout), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+    return xq, wq, s_w, b
+
+
+def _close_int8(got, ref):
+    d = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [
+    (16, 16, 16, 32),       # small-channel (pads Cin 16->128)
+    (8, 52, 128, 256),      # production-like folded shape (W 52->64)
+    (8, 13, 8, 16),         # odd W
+])
+def test_rs_matches_xla_no_pool(rng, h, w, cin, cout):
+    xq, wq, s_w, b = _mk(rng, 2, h, w, cin, cout)
+    s_in, s_out = jnp.float32(0.02), jnp.float32(0.06)
+    ref = conv2d_w8a8(xq, s_in, wq, s_w, b, s_out=s_out)
+    got = conv2d_w8a8_rs(xq, s_in, wq, s_w, b, s_out=s_out)
+    assert got.shape == ref.shape
+    _close_int8(got, ref)
+
+
+def test_rs_fused_pool2_matches(rng):
+    xq, wq, s_w, b = _mk(rng, 2, 16, 20, 16, 32)
+    s_in, s_out = jnp.float32(0.02), jnp.float32(0.06)
+    ref = maxpool(conv2d_w8a8(xq, s_in, wq, s_w, b, s_out=s_out), 2, 2)
+    got = conv2d_w8a8_rs(xq, s_in, wq, s_w, b, s_out=s_out, pool="pool2")
+    assert got.shape == ref.shape
+    _close_int8(got, ref)
+
+
+def test_rs_f32_output(rng):
+    xq, wq, s_w, b = _mk(rng, 1, 8, 8, 16, 32)
+    s_in = jnp.float32(0.02)
+    ref = conv2d_w8a8(xq, s_in, wq, s_w, b)
+    got = conv2d_w8a8_rs(xq, s_in, wq, s_w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("f", [2, 4])
+def test_fold_weights_exact_fp32(rng, f):
+    """Folded conv + group-max pool == conv + maxpool (fp32 check of the
+    reassociation, independent of quantization)."""
+    hw = 4 * f
+    x = rng.standard_normal((1, hw, hw, 3)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 3, 8)).astype(np.float32)
+    ref = maxpool(conv2d_fp32(jnp.asarray(x), jnp.asarray(w),
+                              jnp.zeros(8), act="leaky"), 2, 2)
+
+    wf = fold_conv3x3_weights(w, f)
+    xf = space_to_depth(jnp.asarray(x), f)
+    yf = conv2d_fp32(xf, jnp.asarray(wf), jnp.zeros(f * f * 8), act="leaky")
+    pooled = fold_group_pool_channels(yf, f, 8)        # fold-(f/2) layout
+    # unfold to compare: fold-(f/2) of pooled tensor
+    want = space_to_depth(ref, f // 2) if f > 2 else ref
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_composed_fold_pipeline_matches_chain(rng):
+    """THE production path: conv1(f=8)+gmax -> conv2(f=4)+gmax ->
+    conv3(f=2)+gmax, all via the rs kernel at constant spatial size,
+    vs the plain conv+pool chain (int8 parity)."""
+    n, hw = 2, 32                        # 32 = 8*4: folded grid 4x4
+    cins, couts = [3, 16, 32], [16, 32, 64]
+    s = jnp.float32(0.02)
+    s_outs = [jnp.float32(0.05), jnp.float32(0.07), jnp.float32(0.09)]
+
+    xq = jnp.asarray(rng.integers(-127, 128, (n, hw, hw, cins[0])), jnp.int8)
+    ws, sws, bs = [], [], []
+    for cin, cout in zip(cins, couts):
+        wq = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout)), jnp.int8)
+        ws.append(wq)
+        sws.append(jnp.asarray(rng.uniform(1e-3, 1e-2, cout), jnp.float32))
+        bs.append(jnp.asarray(rng.standard_normal(cout), jnp.float32))
+
+    # reference chain: (conv -> pool) x3
+    ref = xq
+    s_cur = s
+    for wq, sw, b, so in zip(ws, sws, bs, s_outs):
+        ref = maxpool(conv2d_w8a8(ref, s_cur, wq, sw, b, s_out=so), 2, 2)
+        s_cur = so
+
+    # folded pipeline at constant (hw/8, hw/8) spatial
+    x = space_to_depth(xq, 8)
+    s_cur = s
+    for f, wq, sw, b, so in zip((8, 4, 2), ws, sws, bs, s_outs):
+        wf, sw_f, b_f = folded_stage_params(wq, sw, b, f)
+        cout = wq.shape[3]
+        scale = (s_cur * jnp.asarray(sw_f)) / so
+        bias = jnp.asarray(b_f) / so
+        x = conv3x3_rs(x, jnp.asarray(wf), scale, bias, act="leaky",
+                       quantize_out=True, pool=("gmax", f, cout))
+        s_cur = so
+
+    # x is now fold-1 == plain NHWC
+    assert x.shape == ref.shape, (x.shape, ref.shape)
+    _close_int8(x, ref)
+
+
+def test_rs_padding_stripped(rng):
+    xq, wq, s_w, b = _mk(rng, 1, 8, 13, 8, 16)
+    s_in, s_out = jnp.float32(0.02), jnp.float32(0.06)
+    got = conv2d_w8a8_rs(xq, s_in, wq, s_w, b, s_out=s_out)
+    assert got.shape == (1, 8, 13, 16)

@@ -1,0 +1,65 @@
+"""Fused execution-plan parity tests (runtime/plan.py vs the generic
+Model.forward_w8a8 reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_inference_engine_tpu.models import yolov2_tiny
+from dnn_inference_engine_tpu.quant.quantize import (
+    calibrate, quantize_model_params)
+from dnn_inference_engine_tpu.runtime.plan import (
+    build_plan, plan_forward_w8a8, prepare_plan_params)
+
+
+def _setup(rng, hw=64):
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=2)
+    qparams = quantize_model_params(params, model.layers)
+    return model, params, qparams, scales, images
+
+
+def test_plan_builds_for_yolov2():
+    model = yolov2_tiny()
+    plan = build_plan(model)
+    assert plan is not None
+    convs = [s for s in plan if s.kind != "pool"]
+    assert len(convs) == 9
+    # conv1/conv2 folded, conv3 rs-folded; folds absorb their pools
+    assert convs[0].kind == "fold_xla" and convs[0].pool_li == 1
+    assert convs[2].kind == "rs" and convs[2].fold == 2
+    assert convs[-1].s_out_is_final
+
+
+def test_plan_matches_reference_forward(rng):
+    model, params, qparams, scales, images = _setup(rng)
+    plan = build_plan(model)
+    pp = prepare_plan_params(model, qparams, plan)
+    x = jnp.asarray(images)
+
+    ref = np.asarray(model.forward_w8a8(qparams, scales, x))
+    got = np.asarray(plan_forward_w8a8(model, plan, pp, scales, x))
+    assert got.shape == ref.shape
+    # identical int math modulo f32-rounding boundary flips in requant
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel
+    assert np.mean(np.isclose(got, ref, rtol=1e-4, atol=1e-4)) > 0.95
+
+
+def test_engine_auto_uses_plan(rng):
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    eng = Engine(EngineConfig(mode="w8a8", kernel="auto", input_size=64)
+                 ).load_weights(key=jax.random.PRNGKey(1)).prepare(
+                     calib_images=x)
+    assert eng._plan is not None
+    eng_x = Engine(EngineConfig(mode="w8a8", kernel="xla", input_size=64)
+                   ).load_weights(key=jax.random.PRNGKey(1)).prepare(
+                       calib_images=x)
+    a = np.asarray(eng.forward_fn()(eng.exec_params, x))
+    b = np.asarray(eng_x.forward_fn()(eng_x.exec_params, x))
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 0.02, rel
