@@ -33,6 +33,7 @@ from dnn_inference_engine_tpu.ops.activations import apply_activation
 from dnn_inference_engine_tpu.ops.conv import conv2d_fp32, conv2d_w8, conv2d_w8a8
 from dnn_inference_engine_tpu.ops.pool import maxpool
 from dnn_inference_engine_tpu.quant.quantize import dequantize, quantize_act
+from dnn_inference_engine_tpu.runtime.profiling import layer_scope
 
 
 def _upsample_nearest(x: jnp.ndarray, stride: int) -> jnp.ndarray:
@@ -124,8 +125,9 @@ class Model:
             captured_in.append(x)
             p = params[li]
             if isinstance(layer, Conv):
-                x = conv_fn(x, p["w"], p["b"], act=layer.act,
-                            stride=layer.stride, padding=layer.padding)
+                with layer_scope(li, layer):
+                    x = conv_fn(x, p["w"], p["b"], act=layer.act,
+                                stride=layer.stride, padding=layer.padding)
             elif isinstance(layer, MaxPool):
                 x = maxpool(x, layer.size, layer.stride, layer.padding)
             elif isinstance(layer, Route):
@@ -157,8 +159,9 @@ class Model:
         for li, layer in enumerate(self.layers):
             p = qparams[li]
             if isinstance(layer, Conv):
-                x = conv_fn(x, p["wq"], p["s_w"], p["b"], act=layer.act,
-                            stride=layer.stride, padding=layer.padding)
+                with layer_scope(li, layer):
+                    x = conv_fn(x, p["wq"], p["s_w"], p["b"], act=layer.act,
+                                stride=layer.stride, padding=layer.padding)
             elif isinstance(layer, MaxPool):
                 x = maxpool(x, layer.size, layer.stride, layer.padding)
             elif isinstance(layer, Route):
@@ -206,10 +209,12 @@ class Model:
                     x = quantize_act(x, cur_scale)
                 # last-layer / linear convs emit f32 (no requant)
                 requant = not _is_final_f32_layer(self.layers, li)
-                x = conv_fn(
-                    x, cur_scale, p["wq"], p["s_w"], p["b"], act=layer.act,
-                    stride=layer.stride, padding=layer.padding,
-                    s_out=s_next if requant else None)
+                with layer_scope(li, layer):
+                    x = conv_fn(
+                        x, cur_scale, p["wq"], p["s_w"], p["b"],
+                        act=layer.act, stride=layer.stride,
+                        padding=layer.padding,
+                        s_out=s_next if requant else None)
                 cur_scale = s_next if requant else None
             elif isinstance(layer, MaxPool):
                 x = maxpool(x, layer.size, layer.stride, layer.padding)  # scale-preserving

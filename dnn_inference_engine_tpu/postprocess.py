@@ -196,6 +196,7 @@ def host_nms(boxes: np.ndarray, scores: np.ndarray,
     boxes (M, 4) cxcywh, scores (M, C). Returns (boxes_xyxy (D,4),
     scores (D,), classes (D,)) for the D <= max_det survivors, score-desc.
     """
+    from dnn_inference_engine_tpu.runtime.native_bridge import native_nms
     boxes = np.asarray(boxes, np.float32)
     scores = np.asarray(scores, np.float32)
     bx = np.asarray(cxcywh_to_xyxy(boxes))
@@ -204,15 +205,16 @@ def host_nms(boxes: np.ndarray, scores: np.ndarray,
         sc = scores[:, c]
         cand = np.where(sc > score_thresh)[0]
         cand = cand[np.argsort(-sc[cand], kind="stable")]
-        kept = []
-        for i in cand:
-            ok = True
-            for j in kept:
-                if _iou_single(bx[i], bx[j]) > iou_thresh:
-                    ok = False
-                    break
-            if ok:
-                kept.append(i)
+        kept_local = native_nms(bx[cand], sc[cand], iou_thresh,
+                                score_thresh, max_det)
+        if kept_local is not None:
+            kept = cand[kept_local]
+        else:
+            kept = []
+            for i in cand:
+                if all(_iou_single(bx[i], bx[j]) <= iou_thresh
+                       for j in kept):
+                    kept.append(i)
         for i in kept:
             out_b.append(bx[i]); out_s.append(sc[i]); out_c.append(c)
     if not out_b:

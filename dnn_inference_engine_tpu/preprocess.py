@@ -56,9 +56,15 @@ def preprocess_image(img: np.ndarray, input_size: int = 416,
     """
     h, w = img.shape[:2]
     if not letterbox:
-        out = resize_bilinear(img, input_size, input_size) / 255.0
         meta = {"scale_x": w / input_size, "scale_y": h / input_size,
                 "pad_x": 0.0, "pad_y": 0.0}
+        if img.dtype == np.uint8 and img.ndim == 3:
+            from dnn_inference_engine_tpu.runtime.native_bridge import (
+                native_preprocess_u8)
+            out = native_preprocess_u8(img, input_size, input_size)
+            if out is not None:
+                return out, meta
+        out = resize_bilinear(img, input_size, input_size) / 255.0
         return out.astype(np.float32), meta
     scale = min(input_size / w, input_size / h)
     nw, nh = int(round(w * scale)), int(round(h * scale))

@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),     # out keep indices
                 ctypes.c_int]                     # max_det
             lib.nms_greedy.restype = ctypes.c_int
+            lib.preprocess_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int]
+            lib.preprocess_u8.restype = None
             _lib = lib
         except OSError:
             _lib = None
@@ -81,6 +86,21 @@ def native_resize(img: np.ndarray, out_h: int, out_w: int) -> Optional[np.ndarra
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w)
     if img.ndim == 2:
         dst = dst[..., 0]
+    return dst
+
+
+def native_preprocess_u8(img: np.ndarray, out_h: int,
+                         out_w: int) -> Optional[np.ndarray]:
+    """uint8 HWC -> resized f32 HWC in [0,1], fused in C++."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(img, np.uint8)
+    h, w, c = src.shape
+    dst = np.empty((out_h, out_w, c), np.float32)
+    lib.preprocess_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_h, out_w)
     return dst
 
 

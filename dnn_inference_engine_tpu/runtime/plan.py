@@ -137,60 +137,71 @@ def plan_forward_w8a8(model, stages: Sequence[Stage],
     cur_fold = 1                  # s2d fold factor of the tensor in ``x``
     for si, st in enumerate(stages):
         pp = plan_params[si]
-        if st.kind == "pool":
-            if cur_fold > 1:
-                x = depth_to_space(x, cur_fold)
-                cur_fold = 1
-            lay = layers[st.conv_li]
-            x = maxpool(x, lay.size, lay.stride, lay.padding)
-            continue
-        li = st.conv_li
-        if cur_scale is None:
-            cur_scale = jnp.float32(act_scales[li])
-            x = quantize_act(x, cur_scale)
-        # layout: folded stages consume s2d(fold) of the plain tensor
-        need_fold = st.fold if st.fold > 1 else 1
-        if cur_fold != need_fold:
-            if cur_fold > 1:
-                x = depth_to_space(x, cur_fold)
-            if need_fold > 1:
-                x = space_to_depth(x, need_fold)
-            cur_fold = need_fold
-        # requant target: the calibrated scale of this conv's output
-        if st.s_out_is_final:
-            s_out = None
-        else:
-            s_out = jnp.float32(act_scales[li + 1])
-
-        if st.kind == "xla":
-            x = conv2d_w8a8(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
-                            act=st.act, stride=st.stride, s_out=s_out)
-        elif st.kind == "gemm":
-            x = conv2d_w8a8_pallas(x, cur_scale, pp["wq"], pp["s_w"],
-                                   pp["b"], act=st.act, stride=st.stride,
-                                   s_out=s_out)
-        elif st.kind in ("fold_xla", "rs"):
-            assert s_out is not None
-            f = st.fold
-            cout = pp["s_w"].shape[0] // (f * f)   # static (from shape)
-            if st.kind == "rs":
-                scale = (cur_scale * pp["s_w"]) / s_out
-                bias = pp["b"] / s_out
-                x = conv3x3_rs(x, pp["wq"], scale, bias, act=st.act,
-                               quantize_out=True, pool=("gmax", f, cout))
-            else:
-                y = jax.lax.conv_general_dilated(
-                    x, pp["wq"], (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                y = y.astype(jnp.float32) * (cur_scale * pp["s_w"]) + pp["b"]
-                y = jnp.where(y > 0, y, 0.1 * y) if st.act == "leaky" else y
-                y = quantize_act(y, s_out)
-                x = fold_group_pool_channels(y, f, cout)
-            cur_fold = f // 2     # gmax output is in fold-(f/2) layout
-        else:
-            raise ValueError(st.kind)
-        cur_scale = None if s_out is None else s_out
+        # label every op of this stage in traces/HLO (profiling.py)
+        with jax.named_scope(
+                f"stage{si}_{st.kind}_L{st.conv_li}"
+                + (f"_fold{st.fold}" if st.fold > 1 else "")):
+            x, cur_scale, cur_fold = _run_stage(
+                layers, st, pp, x, cur_scale, cur_fold, act_scales)
     if cur_fold > 1:
         x = depth_to_space(x, cur_fold)
     return x
+
+
+def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
+    """One plan stage; returns (x, cur_scale, cur_fold)."""
+    if st.kind == "pool":
+        if cur_fold > 1:
+            x = depth_to_space(x, cur_fold)
+            cur_fold = 1
+        lay = layers[st.conv_li]
+        x = maxpool(x, lay.size, lay.stride, lay.padding)
+        return x, cur_scale, cur_fold
+    li = st.conv_li
+    if cur_scale is None:
+        cur_scale = jnp.float32(act_scales[li])
+        x = quantize_act(x, cur_scale)
+    # layout: folded stages consume s2d(fold) of the plain tensor
+    need_fold = st.fold if st.fold > 1 else 1
+    if cur_fold != need_fold:
+        if cur_fold > 1:
+            x = depth_to_space(x, cur_fold)
+        if need_fold > 1:
+            x = space_to_depth(x, need_fold)
+        cur_fold = need_fold
+    # requant target: the calibrated scale of this conv's output
+    if st.s_out_is_final:
+        s_out = None
+    else:
+        s_out = jnp.float32(act_scales[li + 1])
+
+    if st.kind == "xla":
+        x = conv2d_w8a8(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
+                        act=st.act, stride=st.stride, s_out=s_out)
+    elif st.kind == "gemm":
+        x = conv2d_w8a8_pallas(x, cur_scale, pp["wq"], pp["s_w"],
+                               pp["b"], act=st.act, stride=st.stride,
+                               s_out=s_out)
+    elif st.kind in ("fold_xla", "rs"):
+        assert s_out is not None
+        f = st.fold
+        cout = pp["s_w"].shape[0] // (f * f)   # static (from shape)
+        if st.kind == "rs":
+            scale = (cur_scale * pp["s_w"]) / s_out
+            bias = pp["b"] / s_out
+            x = conv3x3_rs(x, pp["wq"], scale, bias, act=st.act,
+                           quantize_out=True, pool=("gmax", f, cout))
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, pp["wq"], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (cur_scale * pp["s_w"]) + pp["b"]
+            y = jnp.where(y > 0, y, 0.1 * y) if st.act == "leaky" else y
+            y = quantize_act(y, s_out)
+            x = fold_group_pool_channels(y, f, cout)
+        cur_fold = f // 2     # gmax output is in fold-(f/2) layout
+    else:
+        raise ValueError(st.kind)
+    cur_scale = None if s_out is None else s_out
+    return x, cur_scale, cur_fold
