@@ -75,7 +75,25 @@ def depth_to_space(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * f, w * f, c0)
 
 
-def fold_conv3x3_weights(w: np.ndarray, f: int = 2) -> np.ndarray:
+def _fold_group(r: int, s: int, f: int, pool_major: bool) -> int:
+    """Output channel group for position (r, s).
+
+    pool_major orders groups (u, v, a, b) where r = 2a+u, s = 2b+v: the 4
+    pooling operands of every (a, b) become 4 large contiguous channel
+    slices, so the fused group-max is 3 wide vector maxes instead of many
+    sub-tile lane slices (measured: the small-co slice form dominated the
+    kernel on conv1/conv2 shapes).
+    """
+    if not pool_major:
+        return r * f + s
+    fo = f // 2
+    a, u = r // 2, r % 2
+    b, v = s // 2, s % 2
+    return (u * 2 + v) * fo * fo + a * fo + b
+
+
+def fold_conv3x3_weights(w: np.ndarray, f: int = 2,
+                         pool_major: bool = False) -> np.ndarray:
     """(3,3,Cin,Cout) -> (3,3,f^2*Cin,f^2*Cout) folded weights.
 
     Wf[di+1, dj+1, (p*f+q)*Cin+c, (r*f+s)*Cout+co] = W[dh+1, dw+1, c, co]
@@ -96,9 +114,52 @@ def fold_conv3x3_weights(w: np.ndarray, f: int = 2) -> np.ndarray:
                             dh = f * di + p - r
                             dw = f * dj + q - s
                             if dh in (-1, 0, 1) and dw in (-1, 0, 1):
+                                g = _fold_group(r, s, f, pool_major)
                                 wf[di + 1, dj + 1,
                                    (p * f + q) * cin:(p * f + q + 1) * cin,
-                                   (r * f + s) * cout:(r * f + s + 1) * cout] \
+                                   g * cout:(g + 1) * cout] \
+                                    = w[dh + 1, dw + 1]
+    return wf
+
+
+def shift_space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Shifted s2d for the k=2 folded formulation: pad 1 row/col of the
+    SAME halo on the top/left (and f-1 zeros bottom/right to complete the
+    blocks), then fold. Output (N, H/f+1, W/f+1, f*f*C); block i holds
+    original rows f*i-1 .. f*i+f-2."""
+    x = jnp.pad(x, ((0, 0), (1, f - 1), (1, f - 1), (0, 0)))
+    return space_to_depth(x, f)
+
+
+def fold_conv3x3_k2_weights(w: np.ndarray, f: int,
+                            pool_major: bool = False) -> np.ndarray:
+    """(3,3,Cin,Cout) -> (2,2,f^2*Cin,f^2*Cout) folded weights for the
+    shifted layout (shift_space_to_depth): with block i starting at
+    original row f*i-1, tap (di,dj) in {0,1}^2 uses
+    dh = f*di + p - 1 - r (valid when in {-1,0,1}).
+
+    A 2x2 folded kernel covers 2f rows >= f+2 needed (f >= 2), cutting
+    the fold's MAC inflation from (3f)^2/9/f^2 = f^2... to 4f^2/9 per
+    f^2 outputs — i.e. k2 computes 4*f^2*Cin MACs per output vs 9*f^2*Cin
+    for k3: a 2.25x reduction.
+    """
+    assert w.shape[0] == w.shape[1] == 3 and f >= 2
+    cin, cout = int(w.shape[2]), int(w.shape[3])
+    w = np.asarray(w)
+    wf = np.zeros((2, 2, f * f * cin, f * f * cout), w.dtype)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for p in range(f):
+                for q in range(f):
+                    for r in range(f):
+                        for s in range(f):
+                            dh = f * di + p - 1 - r
+                            dw = f * dj + q - 1 - s
+                            if dh in (-1, 0, 1) and dw in (-1, 0, 1):
+                                g = _fold_group(r, s, f, pool_major)
+                                wf[di, dj,
+                                   (p * f + q) * cin:(p * f + q + 1) * cin,
+                                   g * cout:(g + 1) * cout] \
                                     = w[dh + 1, dw + 1]
     return wf
 
@@ -121,10 +182,24 @@ def fold_group_pool_channels(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
 # The kernel
 # ---------------------------------------------------------------------------
 
+def _parity_extract(y3, ht, w32, u, v, cdim):
+    """(Ht, W32, C) -> rows of parity u, cols of parity v: (Ht/2, W32/2, C).
+
+    Mosaic-safe: leading-dim split for the row parity, then a 2D stride-2
+    lane... sublane slice on the flattened (Ht/2*W32, C) view for the col
+    parity (3D strided slices lower to >2D gathers, which Mosaic rejects).
+    """
+    y4 = y3.reshape(ht // 2, 2, w32, cdim)[:, u]
+    y5 = y4.reshape(ht // 2 * w32, cdim)
+    z = jax.lax.slice(y5, (v, 0), (ht // 2 * w32, cdim), (2, 1))
+    return z.reshape(ht // 2, w32 // 2, cdim)
+
+
 def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
                     acat,
-                    *, W, W32, Ht, cin0, cin, cout, act, quantize_out, pool):
-    # window = this row-block + the 2 halo rows below it
+                    *, W, W32, Ht, cin0, cin, cout, act, quantize_out, pool,
+                    ksize, s2d_out):
+    # window = this row-block + the (ksize-1) halo rows below it
     xwin = jnp.concatenate([xb_ref[0], halo_ref[0, 0]], axis=0)
     if cin != cin0:
         # lane-pad channels in VMEM: HBM traffic stays at the true Cin
@@ -132,9 +207,9 @@ def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
 
     # assemble the implicit-im2col matrix in VMEM (C is 128-aligned, so
     # every lane write is tile-aligned)
-    for dh in range(3):
-        for dw in range(3):
-            j = dh * 3 + dw
+    for dh in range(ksize):
+        for dw in range(ksize):
+            j = dh * ksize + dw
             sl = jax.lax.slice(xwin, (dh, dw, 0), (dh + Ht, dw + W32, cin))
             acat[:, j * cin:(j + 1) * cin] = sl.reshape(Ht * W32, cin)
 
@@ -155,7 +230,17 @@ def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
     # Mosaic supports only simple splits of the sublane dim; express the
     # pools as slice+max instead of multi-dim reshapes.
     mt = Ht * W32
-    if isinstance(pool, tuple) and pool[0] == "gmax":
+    if isinstance(pool, tuple) and pool[0] == "gmaxm":
+        # pool-major fold layout: 4 contiguous slices, 3 vector maxes
+        _, f, co = pool
+        go = (f // 2) ** 2 * co
+        y = jnp.maximum(
+            jnp.maximum(jax.lax.slice(y, (0, 0), (mt, go)),
+                        jax.lax.slice(y, (0, go), (mt, 2 * go))),
+            jnp.maximum(jax.lax.slice(y, (0, 2 * go), (mt, 3 * go)),
+                        jax.lax.slice(y, (0, 3 * go), (mt, 4 * go))))
+        out = y.reshape(Ht, W32, go)
+    elif isinstance(pool, tuple) and pool[0] == "gmax":
         _, f, co = pool
         fo = f // 2
         groups = []
@@ -173,39 +258,59 @@ def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
     elif pool == "pool2":
         y3 = y.reshape(Ht, W32, cout)
         out = jnp.maximum(
-            jnp.maximum(y3[0::2, 0::2], y3[0::2, 1::2]),
-            jnp.maximum(y3[1::2, 0::2], y3[1::2, 1::2]))
+            jnp.maximum(_parity_extract(y3, Ht, W32, 0, 0, cout),
+                        _parity_extract(y3, Ht, W32, 0, 1, cout)),
+            jnp.maximum(_parity_extract(y3, Ht, W32, 1, 0, cout),
+                        _parity_extract(y3, Ht, W32, 1, 1, cout)))
     elif pool is None:
         out = y.reshape(Ht, W32, cout)
     else:
         raise ValueError(pool)
+    if s2d_out:
+        # write in space-to-depth(2) layout: the next folded stage reads
+        # this directly, eliminating the XLA relayout between stages
+        # (profiling showed those transposes cost ~2.2 ms/iter, more than
+        # all the conv kernels combined)
+        oh, ow, oc = out.shape
+        out = jnp.concatenate(
+            [_parity_extract(out, oh, ow, u, v, oc)
+             for u in (0, 1) for v in (0, 1)], axis=-1)
     out_ref[:] = out.astype(out_ref.dtype)[None]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "quantize_out", "pool", "ht", "interpret"))
+    static_argnames=("act", "quantize_out", "pool", "ht", "ksize",
+                     "s2d_out", "interpret"))
 def conv3x3_rs(
     x: jnp.ndarray,            # (N, H, W, Cin) int8 (NHWC)
-    w: jnp.ndarray,            # (3, 3, Cin, Cout) int8
+    w: jnp.ndarray,            # (k, k, Cin, Cout) int8
     scale: jnp.ndarray,        # (Cout,) f32 folded dequant scale
     bias: jnp.ndarray,         # (Cout,) f32 (already includes /s_out)
     act: str = "leaky",
     quantize_out: bool = True,
-    pool: Union[None, str, Tuple] = None,  # None | 'pool2' | ('gmax', f, co)
+    pool: Union[None, str, Tuple] = None,  # None|'pool2'|('gmax'/'gmaxm',f,co)
     ht: int = 0,
+    ksize: int = 3,
+    s2d_out: bool = False,      # emit output in s2d(2) fold layout
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused 3x3/s1/SAME conv (+ pool) via the row-streaming Pallas kernel.
+    """Fused conv (+ pool) via the row-streaming Pallas kernel.
 
-    Output: pool None -> (N,H,W,Cout); 'pool2' -> (N,H/2,W/2,Cout);
-    ('gmax', f, co) -> (N,H,W,(f/2)^2*co).
+    ksize=3: 3x3/s1/SAME conv (halo zero-padding inserted here).
+    ksize=2: 2x2/s1/VALID conv over a shift_space_to_depth folded input
+             (fold_conv3x3_k2_weights); output spatial = input - 1.
+
+    Output: pool None -> (N,Ho,Wo,Cout); 'pool2' -> (N,Ho/2,Wo/2,Cout);
+    ('gmax', f, co) -> (N,Ho,Wo,(f/2)^2*co).
     """
     if interpret is None:
         interpret = _interpret_default()
     n, h, wd, cin0 = x.shape
-    assert w.shape[:3] == (3, 3, cin0), (w.shape, x.shape)
+    assert w.shape[:3] == (ksize, ksize, cin0), (w.shape, x.shape)
     cout = int(w.shape[3])
+    h_out = h if ksize == 3 else h - 1
+    w_out = wd if ksize == 3 else wd - 1
 
     # channels are lane-padded to a multiple of 128 inside the kernel
     # (exact: the matching weight rows are zero); only the weights pad here
@@ -213,48 +318,61 @@ def conv3x3_rs(
     if cin != cin0:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin - cin0), (0, 0)))
 
-    w32 = _round_up(wd, 64 if pool == "pool2" else 32)
+    w32 = _round_up(w_out, 64 if (pool == "pool2" or s2d_out) else 32)
     wp = w32 + 32                  # halo container width (sublane-tileable)
-    k = 9 * cin                    # multiple of 128 already
+    k = ksize * ksize * cin        # multiple of 128 already
 
     if not ht:
         for cand in (16, 13, 8, 4, 2, 1):
-            if h % cand == 0 and cand * w32 * (k + 4 * cout) < 11_000_000:
+            if s2d_out and cand % 2:
+                continue
+            if h_out % cand == 0 and cand * w32 * (k + 4 * cout) < 11_000_000:
                 ht = cand
                 break
-    assert h % ht == 0, (h, ht)
+    assert h_out % ht == 0, (h_out, ht)
     if pool == "pool2":
         assert ht % 2 == 0
 
-    # spatial pre-pad: SAME halo (1 top/left) + tail up to wp / h+2
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, 0)))
-    nb = h // ht
-    # halo rows for block i: padded rows [i*ht + ht, i*ht + ht + 2)
-    h1 = xp[:, ht::ht][:, :nb]                      # (N, nb, wp, cin)
-    h2 = xp[:, ht + 1::ht][:, :nb]
-    halo = jnp.stack([h1, h2], axis=2)              # (N, nb, 2, wp, cin)
-    xblk = xp[:, :h]                                # (N, h, wp, cin) rows i*ht..
+    if ksize == 3:
+        # SAME halo: 1 zero row top/bottom, 1 zero col left + tail to wp
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, wp - wd - 1), (0, 0)))
+    else:
+        # VALID over the pre-shifted fold: rows are already complete
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, wp - wd, ), (0, 0)))
+    nb = h_out // ht
+    # halo rows for block i: padded rows [i*ht + ht, i*ht + ht + ksize-1)
+    halos = [xp[:, ht + d::ht][:, :nb] for d in range(ksize - 1)]
+    halo = jnp.stack(halos, axis=2)       # (N, nb, ksize-1, wp, cin)
+    xblk = xp[:, :h_out]                  # (N, h_out, wp, cin)
 
     wmat = w.reshape(k, cout)
     scale2 = scale.astype(jnp.float32).reshape(1, cout)
     bias2 = bias.astype(jnp.float32).reshape(1, cout)
 
     if pool is None:
-        out_shape = (n, h, w32, cout)
+        out_shape = (n, h_out, w32, cout)
         blk = (1, ht, w32, cout)
     elif pool == "pool2":
-        out_shape = (n, h // 2, w32 // 2, cout)
+        out_shape = (n, h_out // 2, w32 // 2, cout)
         blk = (1, ht // 2, w32 // 2, cout)
     else:
         _, f, co = pool
         c_out_g = (f // 2) ** 2 * co
-        out_shape = (n, h, w32, c_out_g)
+        out_shape = (n, h_out, w32, c_out_g)
         blk = (1, ht, w32, c_out_g)
+    if s2d_out:
+        assert pool is None or isinstance(pool, tuple), \
+            "s2d_out composes with gmax/no-pool outputs"
+        assert ht % 2 == 0 and h_out % 2 == 0 and w32 % 64 == 0
+        out_shape = (out_shape[0], out_shape[1] // 2, out_shape[2] // 2,
+                     out_shape[3] * 4)
+        blk = (1, blk[1] // 2, blk[2] // 2, blk[3] * 4)
 
     out_dtype = jnp.int8 if quantize_out else jnp.float32
     kernel = functools.partial(
-        _conv_rs_kernel, W=wd, W32=w32, Ht=ht, cin0=cin0, cin=cin,
-        cout=cout, act=act, quantize_out=quantize_out, pool=pool)
+        _conv_rs_kernel, W=w_out, W32=w32, Ht=ht, cin0=cin0, cin=cin,
+        cout=cout, act=act, quantize_out=quantize_out, pool=pool,
+        ksize=ksize, s2d_out=s2d_out)
 
     out = pl.pallas_call(
         kernel,
@@ -262,7 +380,7 @@ def conv3x3_rs(
         in_specs=[
             pl.BlockSpec((1, ht, wp, cin0), lambda nn, ii: (nn, ii, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, wp, cin0),
+            pl.BlockSpec((1, 1, ksize - 1, wp, cin0),
                          lambda nn, ii: (nn, ii, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, cout), lambda nn, ii: (0, 0),
@@ -287,9 +405,11 @@ def conv3x3_rs(
     )(xblk, halo, wmat, scale2, bias2)
 
     # strip the W padding
+    if s2d_out:
+        return out[:, :, :w_out // 2, :]
     if pool == "pool2":
-        return out[:, :, :wd // 2, :]
-    return out[:, :, :wd, :]
+        return out[:, :, :w_out // 2, :]
+    return out[:, :, :w_out, :]
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,8 @@ from dnn_inference_engine_tpu.models.layers import Conv, MaxPool
 from dnn_inference_engine_tpu.ops.conv import conv2d_w8a8
 from dnn_inference_engine_tpu.ops.conv_lowering import conv2d_w8a8_pallas
 from dnn_inference_engine_tpu.ops.pallas_conv import (
-    conv3x3_rs, depth_to_space, fold_conv3x3_weights,
-    fold_group_pool_channels, space_to_depth,
+    conv3x3_rs, depth_to_space, fold_conv3x3_k2_weights, fold_conv3x3_weights,
+    fold_group_pool_channels, shift_space_to_depth, space_to_depth,
 )
 from dnn_inference_engine_tpu.ops.pool import maxpool
 from dnn_inference_engine_tpu.quant.quantize import quantize_act
@@ -48,7 +48,9 @@ class Stage:
     kind: str                     # xla | gemm | rs | fold_xla
     conv_li: int                  # layer index of the conv
     pool_li: Optional[int]        # fused following MaxPool layer (or None)
-    fold: int = 1                 # 1 (unfolded) or 2 (fold-2 + gmax)
+    fold: int = 1                 # 1 (unfolded) or fold factor (+ gmax)
+    k: int = 3                    # folded kernel size (3 = SAME, 2 = shifted VALID)
+    s2d_out: bool = False         # kernel emits s2d(2) fold layout
     act: str = "leaky"
     stride: int = 1
     s_out_is_final: bool = False
@@ -58,12 +60,21 @@ class Stage:
 # conv1 folds at f=4: its fold-2 shape (208,208,12)->64 hits XLA's slow
 # path (~4-5ms); (104,104,48)->256 does not. Its fold-2-layout output
 # then feeds conv2's fold-2 stage with no relayout between them.
+# Relayout-minimized chain: conv1's k2-f4 stage emits fold-2 layout that
+# conv2's k3-f2 stage reads directly; conv3/conv5 take one small XLA s2d
+# each. (Kernel-side s2d_out would remove those too, but its stride-2
+# column extraction lowers to a >2D gather Mosaic rejects — CPU tests
+# keep the path alive for when Mosaic grows strided-slice support.)
+# Profiling showed XLA s2d/relayout copies previously cost more than all
+# conv kernels combined (~2.2 ms/iter at batch 32).
 _YOLOV2_STRATEGY = {
-    0: ("fold_xla", 4),     # conv1: (104,104,48)->256 folded
-    2: ("fold_xla", 2),     # conv2: (104,104,64)->128 folded
-    4: ("rs", 2),           # conv3: rs kernel f2 (52,52,128)->256
-    6: ("xla", 1),          # conv4: XLA direct (52,52,64)->128
-    8: ("gemm", 1),         # conv5+: flat Pallas GEMM tier
+    # A/B same-job min-of-5 on v5e (batch 32): this mix 4.39 ms/batch vs
+    # 5.41 for the all-rs chain and 5.51 for xla-early+gemm-late.
+    0: ("fold_xla", 4),     # conv1 folded f4; fold-2 output chains to conv2
+    2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
+    4: ("rs", 2),           # conv3: rs kernel f2 + fused gmax
+    6: ("xla", 1),          # conv4: XLA direct + pool
+    8: ("gemm", 1),         # conv5-conv9: flat Pallas GEMM tier
     10: ("gemm", 1),
     12: ("gemm", 1),
     13: ("gemm", 1),
@@ -85,7 +96,9 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
         if isinstance(layer, Conv):
             if li not in strategy:
                 return None
-            kind, fold = strategy[li]
+            entry = strategy[li]
+            kind, fold = entry[0], entry[1]
+            opts = entry[2] if len(entry) > 2 else {}
             pool_li = None
             nxt = li + 1
             if (fold > 1 and nxt < len(layers)
@@ -95,9 +108,11 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             if fold > 1 and pool_li is None:
                 return None            # fold requires the absorbable pool
             stages.append(Stage(
-                kind={"fold_xla": "fold_xla", "rs": "rs", "xla": "xla",
-                      "gemm": "gemm"}[kind],
-                conv_li=li, pool_li=pool_li, fold=fold, act=layer.act,
+                kind={"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
+                      "xla": "xla", "gemm": "gemm"}[kind],
+                conv_li=li, pool_li=pool_li, fold=fold,
+                k=2 if kind == "rs2" else 3,
+                s2d_out=opts.get("s2d_out", False), act=layer.act,
                 stride=layer.stride,
                 s_out_is_final=(layer.act == "linear")))
             li = (pool_li + 1) if pool_li is not None else li + 1
@@ -120,7 +135,10 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
         p = qparams[st.conv_li]
         if st.fold > 1:
             f = st.fold
-            wf = fold_conv3x3_weights(np.asarray(p["wq"]), f)
+            folder = (fold_conv3x3_k2_weights if st.k == 2
+                      else fold_conv3x3_weights)
+            # rs stages use the pool-major group order (fast fused gmax)
+            wf = folder(np.asarray(p["wq"]), f, pool_major=(st.kind == "rs"))
             out.append({"wq": jnp.asarray(wf),
                         "s_w": jnp.tile(jnp.asarray(p["s_w"]), f * f),
                         "b": jnp.tile(jnp.asarray(p["b"]), f * f)})
@@ -161,14 +179,21 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
         x = quantize_act(x, cur_scale)
-    # layout: folded stages consume s2d(fold) of the plain tensor
-    need_fold = st.fold if st.fold > 1 else 1
-    if cur_fold != need_fold:
+    # layout: folded stages consume s2d(fold) of the plain tensor; the
+    # k=2 formulation consumes the SHIFTED fold (never chainable)
+    if st.fold > 1 and st.k == 2:
         if cur_fold > 1:
             x = depth_to_space(x, cur_fold)
-        if need_fold > 1:
-            x = space_to_depth(x, need_fold)
-        cur_fold = need_fold
+        x = shift_space_to_depth(x, st.fold)
+        cur_fold = st.fold
+    else:
+        need_fold = st.fold if st.fold > 1 else 1
+        if cur_fold != need_fold:
+            if cur_fold > 1:
+                x = depth_to_space(x, cur_fold)
+            if need_fold > 1:
+                x = space_to_depth(x, need_fold)
+            cur_fold = need_fold
     # requant target: the calibrated scale of this conv's output
     if st.s_out_is_final:
         s_out = None
@@ -190,7 +215,8 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
             scale = (cur_scale * pp["s_w"]) / s_out
             bias = pp["b"] / s_out
             x = conv3x3_rs(x, pp["wq"], scale, bias, act=st.act,
-                           quantize_out=True, pool=("gmax", f, cout))
+                           quantize_out=True, pool=("gmaxm", f, cout),
+                           ksize=st.k, s2d_out=st.s2d_out)
         else:
             y = jax.lax.conv_general_dilated(
                 x, pp["wq"], (1, 1), "SAME",
@@ -201,6 +227,8 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
             y = quantize_act(y, s_out)
             x = fold_group_pool_channels(y, f, cout)
         cur_fold = f // 2     # gmax output is in fold-(f/2) layout
+        if st.kind == "rs" and st.s2d_out:
+            cur_fold *= 2     # the kernel emitted the next fold level
     else:
         raise ValueError(st.kind)
     cur_scale = None if s_out is None else s_out

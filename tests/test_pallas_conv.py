@@ -127,3 +127,56 @@ def test_rs_padding_stripped(rng):
     s_in, s_out = jnp.float32(0.02), jnp.float32(0.06)
     got = conv2d_w8a8_rs(xq, s_in, wq, s_w, b, s_out=s_out)
     assert got.shape == (1, 8, 13, 16)
+
+
+def test_k2_fold_matches_chain(rng):
+    """k=2 shifted-fold formulation == conv + maxpool (int8 parity)."""
+    from dnn_inference_engine_tpu.ops.pallas_conv import (
+        fold_conv3x3_k2_weights, shift_space_to_depth)
+    n, hw, cin, cout = 2, 16, 8, 16
+    s_in, s_out = jnp.float32(0.02), jnp.float32(0.06)
+    xq = jnp.asarray(rng.integers(-127, 128, (n, hw, hw, cin)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout)), jnp.int8)
+    s_w = jnp.asarray(rng.uniform(1e-3, 1e-2, cout), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+
+    ref = maxpool(conv2d_w8a8(xq, s_in, wq, s_w, b, s_out=s_out), 2, 2)
+
+    for f in (2, 4):
+        wf = jnp.asarray(fold_conv3x3_k2_weights(np.asarray(wq), f))
+        reps = f * f
+        scale = (s_in * jnp.tile(s_w, reps)) / s_out
+        bias = jnp.tile(b, reps) / s_out
+        xf = shift_space_to_depth(xq, f)
+        got = conv3x3_rs(xf, wf, scale, bias, act="leaky",
+                         quantize_out=True, pool=("gmax", f, cout), ksize=2)
+        # unfold to plain layout for comparison
+        from dnn_inference_engine_tpu.ops.pallas_conv import depth_to_space
+        if f > 2:
+            got = depth_to_space(got, f // 2)
+        assert got.shape == ref.shape, (f, got.shape, ref.shape)
+        _close_int8(got, ref)
+
+
+def test_plan_with_rs2_strategy(rng):
+    """Full yolov2 plan with rs2 early stages matches the reference."""
+    from dnn_inference_engine_tpu.models import yolov2_tiny
+    from dnn_inference_engine_tpu.quant.quantize import (
+        calibrate, quantize_model_params)
+    from dnn_inference_engine_tpu.runtime.plan import (
+        build_plan, plan_forward_w8a8, prepare_plan_params)
+    strategy = {0: ("rs2", 4), 2: ("rs2", 2), 4: ("rs2", 2), 6: ("xla", 1),
+                8: ("gemm", 1), 10: ("gemm", 1), 12: ("gemm", 1),
+                13: ("gemm", 1), 14: ("gemm", 1)}
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=2)
+    qparams = quantize_model_params(params, model.layers)
+    plan = build_plan(model, strategy)
+    pp = prepare_plan_params(model, qparams, plan)
+    x = jnp.asarray(images)
+    ref = np.asarray(model.forward_w8a8(qparams, scales, x))
+    got = np.asarray(plan_forward_w8a8(model, plan, pp, scales, x))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel

@@ -27,8 +27,9 @@ def test_plan_builds_for_yolov2():
     assert plan is not None
     convs = [s for s in plan if s.kind != "pool"]
     assert len(convs) == 9
-    # conv1/conv2 folded, conv3 rs-folded; folds absorb their pools
-    assert convs[0].kind == "fold_xla" and convs[0].pool_li == 1
+    # conv1/conv2 folded (absorbing their pools); conv3 via the rs kernel
+    assert convs[0].fold == 4 and convs[0].pool_li == 1
+    assert convs[1].fold == 2
     assert convs[2].kind == "rs" and convs[2].fold == 2
     assert convs[-1].s_out_is_final
 
