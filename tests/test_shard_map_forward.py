@@ -1,0 +1,78 @@
+"""Explicit-collective shard_map forward tests (SURVEY.md N2/N3).
+
+Key property: the int32 psum on the row-parallel conv's accumulator makes
+the sharded forward BIT-EXACT vs single-chip (unlike the GSPMD path,
+whose f32-converted partial sums flip boundary codes — see
+test_sharding.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dnn_inference_engine_tpu.models import yolov2_tiny
+from dnn_inference_engine_tpu.parallel.mesh import make_mesh
+from dnn_inference_engine_tpu.parallel.shard_map_forward import (
+    async_collective_flags, make_shardmap_forward,
+)
+from dnn_inference_engine_tpu.parallel.sharding import (
+    input_sharding, shard_params,
+)
+from dnn_inference_engine_tpu.quant.quantize import (
+    calibrate, quantize_model_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+def _setup(rng):
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (8, 64, 64, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=8)
+    qparams = quantize_model_params(params, model.layers)
+    ref = np.asarray(model.forward_w8a8(qparams, scales,
+                                        jnp.asarray(images)))
+    return model, qparams, scales, images, ref
+
+
+def _run(model, qparams, scales, images, mesh_shape, policy):
+    mesh = make_mesh(mesh_shape)
+    sharded = shard_params(qparams, mesh, model, policy)
+    fwd = make_shardmap_forward(model, mesh, scales, policy)
+    x = jax.device_put(jnp.asarray(images), input_sharding(mesh))
+    return np.asarray(fwd(sharded, x))
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (1, 2)])
+def test_channel_sharding_adds_zero_error(rng, mesh_shape):
+    """The int32 psum on the row-parallel conv's accumulator makes the
+    channel-sharded forward BIT-IDENTICAL to the replicated shard_map
+    forward — the collective introduces no numeric error at all (the
+    GSPMD path flips ~12% of boundary codes; see test_sharding.py)."""
+    model, qparams, scales, images, _ref = _setup(rng)
+    got = _run(model, qparams, scales, images, mesh_shape, "channel")
+    rep = _run(model, qparams, scales, images, (8, 1), "replicated")
+    np.testing.assert_array_equal(got, rep)
+
+
+@pytest.mark.parametrize("mesh_shape,policy", [
+    ((4, 2), "channel"),
+    ((8, 1), "replicated"),
+])
+def test_shardmap_matches_generic_forward(rng, mesh_shape, policy):
+    """vs the generic Model.forward_w8a8: equal up to f32 fusion-order
+    rounding at requant boundaries (separately compiled programs may
+    fuse the f32 epilogue differently; an unlucky boundary flip then
+    cascades through later requants for that image)."""
+    model, qparams, scales, images, ref = _setup(rng)
+    got = _run(model, qparams, scales, images, mesh_shape, policy)
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rel < 0.02, rel
+
+
+def test_async_flags_wellformed():
+    flags = async_collective_flags()
+    assert all(f.startswith("--xla") for f in flags.split())
