@@ -1,0 +1,122 @@
+"""Full benchmark sweep over the BASELINE.json measurement configs.
+
+Writes BENCH_DETAIL.json and prints one JSON line per config. The driver
+contract (one line, headline config) stays in bench.py; this sweep covers:
+
+  1. YOLOv2-tiny FP32 batch-1 (the PR1-reference role)
+  2. YOLOv2-tiny INT8 weight-only (w8) batch-1
+  3. YOLOv2-tiny W8A8 batch-32 (headline)
+  4. YOLOv3-tiny + ResNet-18 int8 (stretch coverage)
+  5. scaling harness: dp=1 vs dp=2 virtual-host images/s (CPU-mesh
+     simulation in this sandbox — the efficiency number is only
+     meaningful on a real pod slice; the harness is the deliverable)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def bench_model(model, mode, batch, kernel="auto", input_size=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+
+    kw = {"model": model, "mode": mode, "kernel": kernel, "batch": batch}
+    if input_size:
+        kw["input_size"] = input_size
+    eng = Engine(EngineConfig(**kw)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, eng.config.input_size,
+                                       eng.config.input_size, 3)), jnp.float32)
+    fwd = lambda xx: eng._fwd(eng.exec_params, xx)
+    t = per_iter_time(fwd, (x,), iters_hi=40, iters_lo=8, reps=4, stat="min")
+    return {
+        "model": model, "mode": mode, "batch": batch,
+        "ms_per_batch": round(t * 1e3, 3),
+        "images_per_s": round(batch / t, 1),
+    }
+
+
+def bench_scaling():
+    """dp=1 vs dp=2 scaling efficiency on the current device set."""
+    import jax
+    if len(jax.devices()) < 2:
+        return {"note": "single device: scaling harness needs >=2 devices"}
+    import jax.numpy as jnp
+    import numpy as np
+    from dnn_inference_engine_tpu.models import yolov2_tiny
+    from dnn_inference_engine_tpu.parallel.mesh import make_mesh
+    from dnn_inference_engine_tpu.parallel.shard_map_forward import (
+        make_shardmap_forward)
+    from dnn_inference_engine_tpu.parallel.sharding import (
+        input_sharding, shard_params)
+    from dnn_inference_engine_tpu.quant.quantize import (
+        calibrate, quantize_model_params)
+    from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
+
+    on_tpu = jax.default_backend() == "tpu"
+    size = 416 if on_tpu else 96           # CPU simulation: keep it light
+    per_dev = 8 if on_tpu else 2
+
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 1, (2, size, size, 3)).astype(np.float32)
+    scales = calibrate(model, params, imgs, batch=2)
+    qparams = quantize_model_params(params, model.layers)
+
+    out = {"input_size": size, "simulated": not on_tpu}
+    for dp in (1, 2):
+        batch = per_dev * dp
+        mesh = make_mesh((dp, 1))
+        sharded = shard_params(qparams, mesh, model, "replicated")
+        fwd = make_shardmap_forward(model, mesh, scales, "replicated")
+        x = jax.device_put(
+            jnp.asarray(rng.uniform(0, 1, (batch, size, size, 3)),
+                        jnp.float32), input_sharding(mesh))
+        t = per_iter_time(lambda xx: fwd(sharded, xx), (x,),
+                          iters_hi=20 if on_tpu else 6,
+                          iters_lo=4 if on_tpu else 2, reps=3, stat="min")
+        out[f"dp{dp}_images_per_s"] = round(batch / t, 1)
+    if out.get("dp1_images_per_s"):
+        out["scaling_efficiency"] = round(
+            out["dp2_images_per_s"] / (2 * out["dp1_images_per_s"]), 3)
+    return out
+
+
+def main():
+    import jax
+    results = {"backend": jax.default_backend(), "configs": {}}
+    runs = [
+        ("1_yolov2_fp32_b1", dict(model="yolov2-tiny", mode="fp32", batch=1)),
+        ("2_yolov2_w8_b1", dict(model="yolov2-tiny", mode="w8", batch=1)),
+        ("3_yolov2_w8a8_b32", dict(model="yolov2-tiny", mode="w8a8", batch=32)),
+        ("4a_yolov3_w8_b16", dict(model="yolov3-tiny", mode="w8", batch=16)),
+        ("4b_resnet18_w8_b32", dict(model="resnet18", mode="w8", batch=32,
+                                    input_size=224)),
+    ]
+    for name, kw in runs:
+        try:
+            r = bench_model(**kw)
+        except Exception as e:              # keep sweeping
+            r = {"error": f"{type(e).__name__}: {e}"}
+        results["configs"][name] = r
+        print(json.dumps({name: r}), flush=True)
+    try:
+        results["configs"]["5_scaling"] = bench_scaling()
+    except Exception as e:
+        results["configs"]["5_scaling"] = {"error": str(e)}
+    print(json.dumps({"5_scaling": results["configs"]["5_scaling"]}),
+          flush=True)
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -115,6 +115,54 @@ def cmd_serve(args):
         batcher.stop()
 
 
+def cmd_dump_goldens(args):
+    """E1: dump per-layer FP32 golden tensors for a (seeded or real) input."""
+    from dnn_inference_engine_tpu.eval.golden import dump_goldens
+    from dnn_inference_engine_tpu.preprocess import load_image, preprocess_image
+    import jax.numpy as jnp
+    args.mode = "fp32"                      # goldens are always FP32
+    eng = _build_engine(args)
+    if args.image:
+        x, _ = preprocess_image(load_image(args.image), eng.config.input_size)
+        x = x[None]
+    else:
+        rng = np.random.default_rng(args.seed)
+        s = eng.config.input_size
+        x = rng.uniform(0, 1, (1, s, s, 3)).astype(np.float32)
+    dump_goldens(eng.model, eng.fp32_params, jnp.asarray(x), args.out)
+    print(f"# dumped {len(eng.model.layers)} layer goldens -> {args.out}")
+
+
+def cmd_check_goldens(args):
+    """E1: run the configured mode and diff per-layer outputs vs goldens."""
+    from dnn_inference_engine_tpu.eval.golden import (
+        compare_goldens, load_goldens, quant_error_report)
+    import jax.numpy as jnp
+    eng = _build_engine(args)
+    goldens = load_goldens(args.goldens)
+    z = np.load(args.goldens)
+    x = jnp.asarray(z["input"])
+    _, outs = eng.model.forward(
+        eng.params, x, mode=eng.config.mode, act_scales=eng.act_scales,
+        capture_outputs=True)
+    if eng.config.mode == "fp32":
+        report = compare_goldens(outs, goldens, rtol=1e-4, atol=1e-4)
+        print("# exact comparison passed; per-layer max abs diff:")
+        for li, d in report.items():
+            print(f"  layer{li:3d}: {d:.3e}")
+    else:
+        report = quant_error_report(outs, goldens)
+        worst = max(report.values())
+        print(f"# quantization path vs FP32 goldens (relative RMS/layer), "
+              f"worst {worst:.4f}:")
+        for li, d in report.items():
+            print(f"  layer{li:3d}: {d:.4f}")
+        if worst > args.tol:
+            print(f"# FAIL: worst layer error {worst:.4f} > tol {args.tol}")
+            return 1
+    return 0
+
+
 def cmd_calibrate(args):
     import glob
     from dnn_inference_engine_tpu.preprocess import load_image, preprocess_image
@@ -158,6 +206,22 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("dump-goldens",
+                       help="dump FP32 per-layer golden tensors (E1)")
+    _add_common(p)
+    p.add_argument("--image", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_dump_goldens)
+
+    p = sub.add_parser("check-goldens",
+                       help="diff the current mode's layers vs goldens (E1)")
+    _add_common(p)
+    p.add_argument("--goldens", required=True)
+    p.add_argument("--tol", type=float, default=0.15,
+                   help="max per-layer relative RMS for quantized modes")
+    p.set_defaults(fn=cmd_check_goldens)
 
     p = sub.add_parser("calibrate", help="calibrate activation scales")
     _add_common(p)
