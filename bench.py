@@ -49,10 +49,11 @@ def run_bench(model: str = "yolov2-tiny", mode: str = "w8a8",
     imgs_per_s = batch / t
     log(f"{mode}: {t*1e3:.3f} ms/batch -> {imgs_per_s:.0f} images/s")
 
-    # p50 single-image latency (full detect incl. decode+NMS + host sync)
+    # p50 single-image latency (full detect incl. decode+NMS + host sync;
+    # uint8 wire format — what the serving path ships)
     cfg1 = EngineConfig(model=model, mode=mode, kernel=kernel, batch=1)
     eng1 = Engine(cfg1).load_weights(key=jax.random.PRNGKey(0)).prepare()
-    x1 = x[:1]
+    x1 = jnp.asarray(np.clip(np.asarray(x[:1]) * 255, 0, 255), jnp.uint8)
     det = eng1.detect_fn()
     t_lat = wall_time(lambda xx: det(eng1.exec_params, xx), (x1,))
     log(f"p50 single-image detect latency: {t_lat*1e3:.2f} ms "

@@ -113,6 +113,11 @@ class Engine:
         return self._plan_params if self._plan is not None else self.params
 
     def _fwd(self, params, x):
+        if x.dtype == jnp.uint8:
+            # serving path ships uint8 over the host->device link (4x less
+            # transfer than f32 — dominant in relay/tunnel deployments) and
+            # normalizes on device
+            x = x.astype(jnp.float32) / 255.0
         if self._plan is not None:
             from dnn_inference_engine_tpu.runtime.plan import plan_forward_w8a8
             return plan_forward_w8a8(self.model, self._plan, params,

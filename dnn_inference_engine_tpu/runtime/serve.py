@@ -97,9 +97,16 @@ class ContinuousBatcher:
             if not batch:
                 continue
             n = len(batch)
-            x = np.zeros((self.max_batch, size, size, 3), np.float32)
+            # ship uint8: 4x less host->device transfer; the engine
+            # normalizes on device (f32 [0,1] inputs are converted here,
+            # uint8 inputs pass through)
+            x = np.zeros((self.max_batch, size, size, 3), np.uint8)
             for i, (img, _f, _t) in enumerate(batch):
-                x[i] = img
+                if img.dtype == np.uint8:
+                    x[i] = img
+                else:
+                    x[i] = np.clip(np.round(img * 255.0), 0, 255
+                                   ).astype(np.uint8)
             try:
                 boxes, scores, classes = self.engine.detect(x)
             except Exception as e:                     # resolve, don't wedge

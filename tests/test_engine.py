@@ -63,3 +63,15 @@ def test_engine_yolov3_detect(rng):
     x = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
     boxes, scores, classes = eng.detect(x)
     assert boxes.shape == (1, 128, 4)
+
+
+def test_engine_uint8_input_matches_f32(rng):
+    """Engine accepts uint8 batches (serving wire format) with on-device
+    normalization equal to f32/255 inputs."""
+    eng = Engine(_small_cfg(mode="fp32")).load_weights().prepare()
+    u8 = rng.integers(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    b1, s1, c1 = eng.detect(u8)
+    b2, s2, c2 = eng.detect(f32)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-3)

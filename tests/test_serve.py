@@ -21,11 +21,13 @@ class FakeEngine:
 
     def detect(self, x):
         self.batch_sizes.append(x.shape[0])
+        assert x.dtype == np.uint8          # batcher ships uint8
         if self.delay:
             time.sleep(self.delay)
         n = x.shape[0]
+        xf = x.astype(np.float32) / 255.0
         boxes = np.zeros((n, 4, 4), np.float32)
-        scores = x.reshape(n, -1).mean(axis=1, keepdims=True).repeat(4, 1)
+        scores = xf.reshape(n, -1).mean(axis=1, keepdims=True).repeat(4, 1)
         classes = np.zeros((n, 4), np.int32)
         return boxes, scores, classes
 
@@ -36,7 +38,7 @@ def test_single_request_roundtrip():
     try:
         img = np.full((8, 8, 3), 0.5, np.float32)
         boxes, scores, classes = b.infer(img, timeout=5)
-        np.testing.assert_allclose(scores, 0.5, rtol=1e-6)
+        np.testing.assert_allclose(scores, 0.5, atol=1.0 / 255.0)
     finally:
         b.stop()
 
@@ -51,7 +53,7 @@ def test_batch_assembly_and_routing():
         futs = [b.submit(np.full((8, 8, 3), v, np.float32)) for v in vals]
         results = [f.result(timeout=10) for f in futs]
         for v, (_bx, sc, _cl) in zip(vals, results):
-            np.testing.assert_allclose(sc, v, rtol=1e-5)
+            np.testing.assert_allclose(sc, v, atol=1.0 / 255.0)
         # device batches are padded to the compiled max_batch (static shape)
         assert all(s == 4 for s in eng.batch_sizes)
         st = b.stats()
@@ -112,4 +114,17 @@ def test_http_stats_endpoint():
             assert json.loads(r.read())["ok"]
     finally:
         srv.shutdown()
+        b.stop()
+
+
+def test_uint8_roundtrip_tolerance():
+    """f32 [0,1] images survive the uint8 wire format within 1/255."""
+    rng = np.random.default_rng(5)
+    eng = FakeEngine()
+    b = ContinuousBatcher(eng).start()
+    try:
+        img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+        _bx, sc, _cl = b.infer(img, timeout=5)
+        np.testing.assert_allclose(sc, img.mean(), atol=1.0 / 255.0)
+    finally:
         b.stop()
