@@ -1,14 +1,15 @@
 """Execution plans: per-layer kernel strategy for the fused W8A8 pipeline.
 
 The generic Model.forward_* methods (models/model.py) are the semantic
-reference. A *plan* rewrites a sequential conv/pool model into fused
-stages chosen from measured-fastest implementations per shape (v5e,
-batch 32, min-of-reps timing — see bench notes in ops/pallas_conv.py):
+reference. A *plan* rewrites a layer-list model into fused stages chosen
+from measured-fastest implementations per shape (v5e, batch 32,
+min-of-reps timing — see bench notes in ops/pallas_conv.py):
 
   strategy        implementation
   --------------  ----------------------------------------------------------
   xla             ops.conv.conv2d_w8a8 (+ separate maxpool)
   gemm            ops.conv_lowering im2col + flat Pallas GEMM (late layers)
+  auto            ops.dispatch per-shape choice between the two above
   rs[:f]          ops.pallas_conv row-streaming kernel, optional fold-2
   fold[:f]:xla    space-to-depth folded conv via XLA + group-max pooling
 
@@ -19,42 +20,56 @@ order-independent). Activation scales follow the same tracking as
 Model.forward_w8a8: each conv requantizes to the calibrated scale of its
 own output tensor; pools preserve scale.
 
-Plans currently cover strictly sequential conv/pool models (YOLOv2-tiny).
-Models with routes/shortcuts fall back to the generic forward.
+Plans cover the full layer vocabulary: graph layers (Route concat,
+Shortcut residual add, Upsample, GlobalAvgPool, Dense) execute with the
+same semantics as Model.forward_w8a8, so YOLOv3-tiny and ResNet-18 run
+fused plans too. Layer outputs referenced later (route/shortcut sources,
+detection heads) are kept de-folded; folding is disallowed on a conv
+whose pre-pool output is itself referenced (build_plan returns None and
+the engine falls back to the generic forward).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dnn_inference_engine_tpu.models.layers import Conv, MaxPool
+from dnn_inference_engine_tpu.models.layers import (
+    Conv, Dense, GlobalAvgPool, MaxPool, Route, Shortcut, Upsample,
+)
+from dnn_inference_engine_tpu.ops.activations import apply_activation
 from dnn_inference_engine_tpu.ops.conv import conv2d_w8a8
 from dnn_inference_engine_tpu.ops.conv_lowering import conv2d_w8a8_pallas
+from dnn_inference_engine_tpu.ops.dispatch import conv2d_w8a8_dispatch
 from dnn_inference_engine_tpu.ops.pallas_conv import (
     conv3x3_rs, depth_to_space, fold_conv3x3_k2_weights, fold_conv3x3_weights,
     fold_group_pool_channels, shift_space_to_depth, space_to_depth,
 )
 from dnn_inference_engine_tpu.ops.pool import maxpool
-from dnn_inference_engine_tpu.quant.quantize import quantize_act
+from dnn_inference_engine_tpu.quant.quantize import dequantize, quantize_act
 
 
 @dataclasses.dataclass
 class Stage:
-    kind: str                     # xla | gemm | rs | fold_xla
-    conv_li: int                  # layer index of the conv
+    kind: str                     # conv kinds: xla|gemm|auto|rs|fold_xla
+                                  # graph kinds: pool|route|shortcut|upsample|gap|dense
+    conv_li: int                  # layer index this stage implements
     pool_li: Optional[int]        # fused following MaxPool layer (or None)
     fold: int = 1                 # 1 (unfolded) or fold factor (+ gmax)
     k: int = 3                    # folded kernel size (3 = SAME, 2 = shifted VALID)
     s2d_out: bool = False         # kernel emits s2d(2) fold layout
     act: str = "leaky"
     stride: int = 1
+    padding: str = "SAME"
     s_out_is_final: bool = False
 
+
+_CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
+               "xla": "xla", "gemm": "gemm", "auto": "auto"}
 
 # measured-fastest strategy for YOLOv2-tiny @ batch 32 on v5e.
 # conv1 folds at f=4: its fold-2 shape (208,208,12)->64 hits XLA's slow
@@ -81,22 +96,59 @@ _YOLOV2_STRATEGY = {
     14: ("gemm", 1),
 }
 
+# YOLOv3-tiny: layers 0-10 have the same shapes as YOLOv2-tiny conv1-6,
+# so they inherit its measured choices; the graph tail (routes/upsample,
+# 1x1 mixes) uses the dispatch thresholds (gemm on MXU-shaped layers).
+_YOLOV3_STRATEGY = {
+    0: ("fold_xla", 4),
+    2: ("fold_xla", 2),
+    4: ("rs", 2),
+    6: ("xla", 1),
+    8: ("gemm", 1),         # 26x26x128->256, route target for head 2
+    10: ("gemm", 1),        # 13x13x256->512
+    12: ("gemm", 1),        # 13x13x512->1024
+    13: ("gemm", 1),        # 1x1 1024->256
+    14: ("gemm", 1),        # 3x3 256->512
+    15: ("gemm", 1),        # 1x1 head (linear)
+    17: ("xla", 1),         # 1x1 256->128 (tiny; K=256 below GEMM-tier floor)
+    20: ("gemm", 1),        # 26x26 384->256 after route concat
+    21: ("xla", 1),         # 1x1 head (linear)
+}
+
+_DEFAULT_STRATEGIES = {
+    "yolov2-tiny": _YOLOV2_STRATEGY,
+    "yolov3-tiny": _YOLOV3_STRATEGY,
+    # resnet18: no entry -> every conv defaults to ("auto", 1); the 7x7
+    # stem (cin=3) and 1x1 projections take XLA, the deep 3x3 blocks the
+    # Pallas GEMM tier, per ops/dispatch.py thresholds.
+}
+
+
+def _referenced_layers(model) -> Set[int]:
+    """Layer indices whose outputs are consumed out of sequence."""
+    refs: Set[int] = set()
+    for layer in model.layers:
+        if isinstance(layer, Route):
+            refs.update(layer.layers)
+        elif isinstance(layer, Shortcut):
+            refs.add(layer.frm)
+    if model.out_layers is not None:
+        refs.update(model.out_layers)
+    return refs
+
 
 def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
-    """Sequential conv/pool model -> list of stages; None if unsupported."""
+    """Layer-list model -> list of stages; None if unsupported."""
     if strategy is None:
-        strategy = _YOLOV2_STRATEGY if model.name == "yolov2-tiny" else None
-    if strategy is None:
-        return None
+        strategy = _DEFAULT_STRATEGIES.get(model.name, {})
+    refs = _referenced_layers(model)
     stages: List[Stage] = []
     layers = model.layers
     li = 0
     while li < len(layers):
         layer = layers[li]
         if isinstance(layer, Conv):
-            if li not in strategy:
-                return None
-            entry = strategy[li]
+            entry = strategy.get(li, ("auto", 1))
             kind, fold = entry[0], entry[1]
             opts = entry[2] if len(entry) > 2 else {}
             pool_li = None
@@ -105,19 +157,37 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
                     and isinstance(layers[nxt], MaxPool)
                     and layers[nxt].stride == 2 and layers[nxt].size == 2):
                 pool_li = nxt
-            if fold > 1 and pool_li is None:
-                return None            # fold requires the absorbable pool
+            if fold > 1 and (pool_li is None or li in refs):
+                # fold needs the absorbable pool, and erases the conv's
+                # pre-pool output (illegal if something routes from it)
+                return None
             stages.append(Stage(
-                kind={"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
-                      "xla": "xla", "gemm": "gemm"}[kind],
+                kind=_CONV_KINDS[kind],
                 conv_li=li, pool_li=pool_li, fold=fold,
                 k=2 if kind == "rs2" else 3,
                 s2d_out=opts.get("s2d_out", False), act=layer.act,
-                stride=layer.stride,
+                stride=layer.stride, padding=layer.padding,
                 s_out_is_final=(layer.act == "linear")))
             li = (pool_li + 1) if pool_li is not None else li + 1
         elif isinstance(layer, MaxPool):
             stages.append(Stage(kind="pool", conv_li=li, pool_li=None))
+            li += 1
+        elif isinstance(layer, Route):
+            stages.append(Stage(kind="route", conv_li=li, pool_li=None))
+            li += 1
+        elif isinstance(layer, Shortcut):
+            stages.append(Stage(kind="shortcut", conv_li=li, pool_li=None,
+                                act=layer.act))
+            li += 1
+        elif isinstance(layer, Upsample):
+            stages.append(Stage(kind="upsample", conv_li=li, pool_li=None))
+            li += 1
+        elif isinstance(layer, GlobalAvgPool):
+            stages.append(Stage(kind="gap", conv_li=li, pool_li=None))
+            li += 1
+        elif isinstance(layer, Dense):
+            stages.append(Stage(kind="dense", conv_li=li, pool_li=None,
+                                act=layer.act))
             li += 1
         else:
             return None
@@ -129,10 +199,7 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
     """Pre-fold weights for folded stages (host-side, once)."""
     out: List[Dict] = []
     for st in stages:
-        if st.kind == "pool":
-            out.append({})
-            continue
-        p = qparams[st.conv_li]
+        p = qparams[st.conv_li] if st.conv_li < len(qparams) else {}
         if st.fold > 1:
             f = st.fold
             folder = (fold_conv3x3_k2_weights if st.k == 2
@@ -149,10 +216,15 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
 
 def plan_forward_w8a8(model, stages: Sequence[Stage],
                       plan_params: Sequence[Dict], act_scales, x):
-    """Run the fused stage pipeline. x: (N,H,W,3) f32; returns f32 head."""
+    """Run the fused stage pipeline. x: (N,H,W,3) f32; returns the f32
+    head (or tuple of heads for multi-output models)."""
     layers = model.layers
+    refs = _referenced_layers(model)
     cur_scale = None
     cur_fold = 1                  # s2d fold factor of the tensor in ``x``
+    # saved[li] = (tensor, scale) for out-of-sequence consumers, always
+    # de-folded; scale None <=> tensor is f32 (mirrors forward_w8a8's outs)
+    saved: Dict[int, Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = {}
     for si, st in enumerate(stages):
         pp = plan_params[si]
         # label every op of this stage in traces/HLO (profiling.py)
@@ -160,22 +232,59 @@ def plan_forward_w8a8(model, stages: Sequence[Stage],
                 f"stage{si}_{st.kind}_L{st.conv_li}"
                 + (f"_fold{st.fold}" if st.fold > 1 else "")):
             x, cur_scale, cur_fold = _run_stage(
-                layers, st, pp, x, cur_scale, cur_fold, act_scales)
+                layers, st, pp, x, cur_scale, cur_fold, act_scales, saved)
+        out_li = st.pool_li if st.pool_li is not None else st.conv_li
+        if out_li in refs:
+            t = depth_to_space(x, cur_fold) if cur_fold > 1 else x
+            saved[out_li] = (t, cur_scale)
+    if model.out_layers is not None:
+        return tuple(_to_f32(*saved[j]) for j in model.out_layers)
     if cur_fold > 1:
         x = depth_to_space(x, cur_fold)
-    return x
+    return _to_f32(x, cur_scale)
 
 
-def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
+def _to_f32(t, s):
+    return t if s is None else dequantize(t, s)
+
+
+def _defold(x, cur_fold):
+    return (depth_to_space(x, cur_fold), 1) if cur_fold > 1 else (x, 1)
+
+
+def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
     """One plan stage; returns (x, cur_scale, cur_fold)."""
-    if st.kind == "pool":
-        if cur_fold > 1:
-            x = depth_to_space(x, cur_fold)
-            cur_fold = 1
-        lay = layers[st.conv_li]
-        x = maxpool(x, lay.size, lay.stride, lay.padding)
-        return x, cur_scale, cur_fold
     li = st.conv_li
+    s_next = jnp.float32(act_scales[li + 1])
+    if st.kind == "pool":
+        x, cur_fold = _defold(x, cur_fold)
+        lay = layers[li]
+        x = maxpool(x, lay.size, lay.stride, lay.padding)  # scale-preserving
+        return x, cur_scale, cur_fold
+    if st.kind == "route":
+        pieces = [_to_f32(*saved[j]) for j in layers[li].layers]
+        x = jnp.concatenate(pieces, axis=-1)
+        return quantize_act(x, s_next), s_next, 1
+    if st.kind == "shortcut":
+        x, cur_fold = _defold(x, cur_fold)
+        x = _to_f32(x, cur_scale) + _to_f32(*saved[layers[li].frm])
+        x = apply_activation(x, st.act)
+        return quantize_act(x, s_next), s_next, 1
+    if st.kind == "upsample":
+        x, cur_fold = _defold(x, cur_fold)
+        s = layers[li].stride
+        x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)  # scale-preserving
+        return x, cur_scale, cur_fold
+    if st.kind == "gap":
+        x, cur_fold = _defold(x, cur_fold)
+        x = jnp.mean(_to_f32(x, cur_scale), axis=(1, 2))
+        return x, None, cur_fold
+    if st.kind == "dense":
+        w = pp["wq"].astype(jnp.float32) * pp["s_w"]
+        x = apply_activation(_to_f32(x, cur_scale) @ w + pp["b"], st.act)
+        return x, None, cur_fold
+
+    # ---- conv stages ----
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
         x = quantize_act(x, cur_scale)
@@ -195,18 +304,13 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales):
                 x = space_to_depth(x, need_fold)
             cur_fold = need_fold
     # requant target: the calibrated scale of this conv's output
-    if st.s_out_is_final:
-        s_out = None
-    else:
-        s_out = jnp.float32(act_scales[li + 1])
+    s_out = None if st.s_out_is_final else s_next
 
-    if st.kind == "xla":
-        x = conv2d_w8a8(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
-                        act=st.act, stride=st.stride, s_out=s_out)
-    elif st.kind == "gemm":
-        x = conv2d_w8a8_pallas(x, cur_scale, pp["wq"], pp["s_w"],
-                               pp["b"], act=st.act, stride=st.stride,
-                               s_out=s_out)
+    if st.kind in ("xla", "gemm", "auto"):
+        fn = {"xla": conv2d_w8a8, "gemm": conv2d_w8a8_pallas,
+              "auto": conv2d_w8a8_dispatch}[st.kind]
+        x = fn(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
+               act=st.act, stride=st.stride, padding=st.padding, s_out=s_out)
     elif st.kind in ("fold_xla", "rs"):
         assert s_out is not None
         f = st.fold

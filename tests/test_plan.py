@@ -64,3 +64,51 @@ def test_engine_auto_uses_plan(rng):
     b = np.asarray(eng_x.forward_fn()(eng_x.exec_params, x))
     rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_plan_builds_for_yolov3_and_resnet18():
+    from dnn_inference_engine_tpu.models.resnet18 import resnet18
+    from dnn_inference_engine_tpu.models.yolov3_tiny import yolov3_tiny
+    plan3 = build_plan(yolov3_tiny())
+    assert plan3 is not None
+    kinds = {s.conv_li: s.kind for s in plan3}
+    assert kinds[16] == "route" and kinds[18] == "upsample"
+    assert kinds[19] == "route"
+    assert [s for s in plan3 if s.conv_li == 0][0].fold == 4
+    planr = build_plan(resnet18(num_classes=10, input_size=64))
+    assert planr is not None
+    rkinds = {s.conv_li: s.kind for s in planr}
+    assert rkinds[4] == "shortcut" and "dense" in rkinds.values()
+
+
+def _plan_vs_generic(model, rng, hw):
+    import numpy as np
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (2, hw, hw, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=2)
+    qparams = quantize_model_params(params, model.layers)
+    plan = build_plan(model)
+    assert plan is not None
+    pp = prepare_plan_params(model, qparams, plan)
+    x = jnp.asarray(images)
+    ref = model.forward_w8a8(qparams, scales, x)
+    got = plan_forward_w8a8(model, plan, pp, scales, x)
+    refs = ref if isinstance(ref, tuple) else (ref,)
+    gots = got if isinstance(got, tuple) else (got,)
+    assert len(refs) == len(gots)
+    for r, g in zip(refs, gots):
+        r, g = np.asarray(r), np.asarray(g)
+        assert g.shape == r.shape
+        rel = np.abs(g - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 0.02, rel
+        assert np.mean(np.isclose(g, r, rtol=1e-4, atol=1e-4)) > 0.95
+
+
+def test_yolov3_plan_matches_generic(rng):
+    from dnn_inference_engine_tpu.models.yolov3_tiny import yolov3_tiny
+    _plan_vs_generic(yolov3_tiny(), rng, 64)
+
+
+def test_resnet18_plan_matches_generic(rng):
+    from dnn_inference_engine_tpu.models.resnet18 import resnet18
+    _plan_vs_generic(resnet18(num_classes=10, input_size=64), rng, 64)
