@@ -100,6 +100,10 @@ def main():
         ("4a_yolov3_w8_b16", dict(model="yolov3-tiny", mode="w8", batch=16)),
         ("4b_resnet18_w8_b32", dict(model="resnet18", mode="w8", batch=32,
                                     input_size=224)),
+        ("4c_yolov3_w8a8_b16", dict(model="yolov3-tiny", mode="w8a8",
+                                    batch=16)),
+        ("4d_resnet18_w8a8_b32", dict(model="resnet18", mode="w8a8", batch=32,
+                                      input_size=224)),
     ]
     for name, kw in runs:
         try:

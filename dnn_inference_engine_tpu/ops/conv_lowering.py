@@ -74,6 +74,22 @@ def conv2d_w8a8_pallas(xq, s_in, wq, s_w, b, act="leaky", stride=1,
     return out.reshape(n, ho, wo, cout)
 
 
+def conv2d_int8_acc(xq, wq, stride=1, padding="SAME"):
+    """int8 conv -> raw int32 accumulator, no epilogue (Pallas GEMM).
+
+    Used by the tensor-parallel row-sharded conv: each chip computes its
+    Cin-shard's partial accumulator, psums in int32 (bit-exact), then the
+    dequant/bias/act epilogue runs once on the summed accumulator
+    (parallel/shard_map_forward.py).
+    """
+    kh, kw, cin, cout = wq.shape
+    a, (n, ho, wo) = _as_gemm(extract_patches(xq, kh, kw, stride, padding))
+    bmat = wq.reshape(kh * kw * cin, cout)
+    dummy = jnp.zeros((cout,), jnp.float32)
+    acc = gemm_fused(a, bmat, dummy, dummy, act="linear", raw_acc=True)
+    return acc.reshape(n, ho, wo, cout)
+
+
 def conv2d_w8_pallas(x, wq, s_w, b, act="leaky", stride=1, padding="SAME"):
     """Weight-only conv: f32 activations x int8 codes, dequant in-kernel."""
     kh, kw, cin, cout = wq.shape

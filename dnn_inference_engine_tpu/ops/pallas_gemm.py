@@ -47,7 +47,10 @@ def _pick_tile(dim: int, cap: int, unit: int = 128) -> int:
     return min(cap, padded)
 
 
-def _epilogue(acc, scale, bias, act, quantize_out, out_ref):
+def _epilogue(acc, scale, bias, act, quantize_out, out_ref, raw_acc=False):
+    if raw_acc:
+        out_ref[:] = acc          # raw accumulator out (sharded psum path)
+        return
     y = acc.astype(jnp.float32) * scale + bias
     if act == "leaky":
         y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
@@ -61,7 +64,7 @@ def _epilogue(acc, scale, bias, act, quantize_out, out_ref):
 
 
 def _gemm_kernel_flat(a_ref, b_ref, scale_ref, bias_ref, out_ref,
-                      *, acc_dtype, act, quantize_out):
+                      *, acc_dtype, act, quantize_out, raw_acc=False):
     """Weights-resident schedule: the full (K, N) weight block stays in
     VMEM across the whole grid; activations stream through in one HBM
     pass. This is the speed-of-light layout for the late YOLO layers
@@ -71,11 +74,12 @@ def _gemm_kernel_flat(a_ref, b_ref, scale_ref, bias_ref, out_ref,
     if bv.dtype != av.dtype:
         bv = bv.astype(av.dtype)
     acc = jnp.dot(av, bv, preferred_element_type=acc_dtype)
-    _epilogue(acc, scale_ref[:], bias_ref[:], act, quantize_out, out_ref)
+    _epilogue(acc, scale_ref[:], bias_ref[:], act, quantize_out, out_ref,
+              raw_acc)
 
 
 def _gemm_kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref,
-                 *, acc_dtype, act, quantize_out):
+                 *, acc_dtype, act, quantize_out, raw_acc=False):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -94,12 +98,13 @@ def _gemm_kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref,
     @pl.when(k == nk - 1)
     def _():
         _epilogue(acc_ref[:], scale_ref[:], bias_ref[:], act, quantize_out,
-                  out_ref)
+                  out_ref, raw_acc)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "quantize_out", "tm", "tn", "tk", "interpret"))
+    static_argnames=("act", "quantize_out", "raw_acc", "tm", "tn", "tk",
+                     "interpret"))
 def gemm_fused(
     a: jnp.ndarray,            # (M, K) int8 | f32 | bf16
     b: jnp.ndarray,            # (K, N) int8 | f32 | bf16  (same class as a)
@@ -107,6 +112,7 @@ def gemm_fused(
     bias: jnp.ndarray,         # (N,) f32 per-column bias
     act: str = "leaky",
     quantize_out: bool = False,
+    raw_acc: bool = False,
     tm: int = 256,
     tn: int = 256,
     tk: int = 512,
@@ -117,6 +123,11 @@ def gemm_fused(
     Pads M/N/K to tile multiples with zeros (exact for the matmul) and
     slices the result back. int8 inputs accumulate in int32 (bit-exact);
     float inputs accumulate in f32.
+
+    ``raw_acc``: skip the epilogue and return the raw int32 (or f32)
+    accumulator — the tensor-parallel row-sharded conv psums this across
+    chips BEFORE dequant so sharded execution stays bit-exact
+    (parallel/shard_map_forward.py).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -124,7 +135,11 @@ def gemm_fused(
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
     acc_dtype = jnp.int32 if a.dtype == jnp.int8 else jnp.float32
-    out_dtype = jnp.int8 if quantize_out else jnp.float32
+    if raw_acc:
+        assert not quantize_out
+        out_dtype = acc_dtype
+    else:
+        out_dtype = jnp.int8 if quantize_out else jnp.float32
     bytesize = lambda t: t.size * t.dtype.itemsize
 
     # --- schedule selection ------------------------------------------------
@@ -162,7 +177,7 @@ def gemm_fused(
 
         kernel = functools.partial(
             _gemm_kernel_flat, acc_dtype=acc_dtype, act=act,
-            quantize_out=quantize_out)
+            quantize_out=quantize_out, raw_acc=raw_acc)
         out = pl.pallas_call(
             kernel,
             grid=(mp // tm,),
@@ -200,7 +215,8 @@ def gemm_fused(
 
     grid = (mp // tm, np_ // tn, kp // tk)
     kernel = functools.partial(
-        _gemm_kernel, acc_dtype=acc_dtype, act=act, quantize_out=quantize_out)
+        _gemm_kernel, acc_dtype=acc_dtype, act=act, quantize_out=quantize_out,
+        raw_acc=raw_acc)
 
     out = pl.pallas_call(
         kernel,

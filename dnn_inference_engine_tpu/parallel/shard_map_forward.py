@@ -37,6 +37,10 @@ from jax import shard_map
 from dnn_inference_engine_tpu.models.layers import Conv, MaxPool
 from dnn_inference_engine_tpu.ops.activations import apply_activation
 from dnn_inference_engine_tpu.ops.conv import _conv, conv2d_w8a8
+from dnn_inference_engine_tpu.ops.conv_lowering import conv2d_int8_acc
+from dnn_inference_engine_tpu.ops.dispatch import (
+    conv2d_w8a8_dispatch, use_pallas,
+)
 from dnn_inference_engine_tpu.ops.pool import maxpool
 from dnn_inference_engine_tpu.parallel.sharding import (
     channel_shard_pair, param_specs,
@@ -64,16 +68,24 @@ def async_collective_flags() -> str:
 
 
 def make_shardmap_forward(model, mesh: Mesh, act_scales: Sequence[float],
-                          policy: str = "channel"):
+                          policy: str = "channel", kernel: str = "xla"):
     """jit(shard_map) W8A8 forward for sequential conv/pool models.
 
     Returns ``fwd(params, x)`` where params must be placed with
     ``shard_params(..., policy)`` and x batch-sharded. The function is
     also correct for policy='replicated' (no psum inserted).
+
+    ``kernel``: 'xla' (stock conv tier) or 'auto'/'pallas' — pallas_call
+    is opaque to GSPMD but legal under shard_map, where each chip runs
+    the fused Pallas GEMM on its local shard; the row-parallel conv uses
+    the kernel's raw_acc mode so the psum still happens on the exact
+    int32 accumulator before the epilogue.
     """
     pair = channel_shard_pair(model) if policy == "channel" else None
     layers = model.layers
     specs = param_specs(model, policy)
+    force_pallas = kernel == "pallas"
+    use_dispatch = kernel in ("auto", "pallas")
 
     def _local_fwd(params, x):
         cur_scale = None
@@ -89,13 +101,25 @@ def make_shardmap_forward(model, mesh: Mesh, act_scales: Sequence[float],
                 final = layer.act == "linear"
                 if pair is not None and li == pair[1]:
                     # row-parallel: local Cin shard -> int32 psum -> epilogue
-                    acc = _conv(x, p["wq"], layer.stride, layer.padding,
-                                preferred_element_type=jnp.int32)
+                    if use_dispatch and (force_pallas or use_pallas(
+                            x.shape, p["wq"].shape, layer.stride)):
+                        acc = conv2d_int8_acc(x, p["wq"], layer.stride,
+                                              layer.padding)
+                    else:
+                        acc = _conv(x, p["wq"], layer.stride, layer.padding,
+                                    preferred_element_type=jnp.int32)
                     acc = jax.lax.psum(acc, "model")
                     y = acc.astype(jnp.float32) * (cur_scale * p["s_w"]) \
                         + p["b"]
                     y = apply_activation(y, layer.act)
                     x = y if final else quantize_act(y, s_next)
+                elif use_dispatch:
+                    x = conv2d_w8a8_dispatch(
+                        x, cur_scale, p["wq"], p["s_w"], p["b"],
+                        act=layer.act, stride=layer.stride,
+                        padding=layer.padding,
+                        s_out=None if final else s_next,
+                        force_pallas=force_pallas)
                 else:
                     # replicated or column-parallel (local Cout slice —
                     # per-channel scales/bias are sliced to match)

@@ -76,3 +76,42 @@ def test_shardmap_matches_generic_forward(rng, mesh_shape, policy):
 def test_async_flags_wellformed():
     flags = async_collective_flags()
     assert all(f.startswith("--xla") for f in flags.split())
+
+
+def test_pallas_kernel_tier_under_shardmap(rng):
+    """kernel='auto' runs the fused Pallas GEMM tier inside shard_map
+    (raw_acc mode on the row-parallel conv keeps the psum in int32).
+    Channel-sharded pallas-tier output must be bit-identical to the
+    replicated pallas-tier output (same local epilogue code; exact
+    int32 contraction regardless of the Cin split)."""
+    model, qparams, scales, images, _ref = _setup(rng)
+
+    def run(mesh_shape, policy):
+        mesh = make_mesh(mesh_shape)
+        sharded = shard_params(qparams, mesh, model, policy)
+        fwd = make_shardmap_forward(model, mesh, scales, policy,
+                                    kernel="auto")
+        x = jax.device_put(jnp.asarray(images), input_sharding(mesh))
+        return np.asarray(fwd(sharded, x))
+
+    got = run((4, 2), "channel")
+    rep = run((8, 1), "replicated")
+    np.testing.assert_array_equal(got, rep)
+    # and quantization-grade agreement with the generic forward
+    ref = np.asarray(model.forward_w8a8(qparams, scales,
+                                        jnp.asarray(images), kernel="auto"))
+    rel = np.sqrt(np.mean((got - ref) ** 2)) / np.sqrt(np.mean(ref ** 2))
+    assert rel < 0.02, rel
+
+
+def test_raw_acc_gemm_exact(rng):
+    """gemm_fused(raw_acc=True) returns the exact int32 accumulator."""
+    from dnn_inference_engine_tpu.ops.pallas_gemm import gemm_fused
+    a = rng.integers(-127, 128, (37, 200), dtype=np.int8)
+    b = rng.integers(-127, 128, (200, 65), dtype=np.int8)
+    dummy = jnp.zeros((65,), jnp.float32)
+    acc = gemm_fused(jnp.asarray(a), jnp.asarray(b), dummy, dummy,
+                     act="linear", raw_acc=True)
+    assert acc.dtype == jnp.int32
+    ref = a.astype(np.int32) @ b.astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(acc), ref)
