@@ -197,16 +197,22 @@ def _parity_extract(y3, ht, w32, u, v, cdim):
 
 def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
                     acat,
-                    *, W, W32, Ht, cin0, cin, cout, act, quantize_out, pool,
-                    ksize, s2d_out):
+                    *, W, W32, Ht, cin0, cin, kpad, cout, act, quantize_out,
+                    pool, ksize, s2d_out):
     # window = this row-block + the (ksize-1) halo rows below it
     xwin = jnp.concatenate([xb_ref[0], halo_ref[0, 0]], axis=0)
     if cin != cin0:
         # lane-pad channels in VMEM: HBM traffic stays at the true Cin
         xwin = jnp.pad(xwin, ((0, 0), (0, 0), (0, cin - cin0)))
 
-    # assemble the implicit-im2col matrix in VMEM (C is 128-aligned, so
-    # every lane write is tile-aligned)
+    # assemble the implicit-im2col matrix in VMEM. When cin is already a
+    # multiple of 128 every lane write is tile-aligned; otherwise the
+    # taps pack densely at true-cin offsets (Mosaic relayouts ref writes
+    # from contiguous sources cheaply — measured) so K stays ksize^2*cin
+    # instead of ksize^2*roundup(cin,128) (2.7x less MXU work at cin=48).
+    k = ksize * ksize * cin
+    if kpad != k:
+        acat[:, k:] = jnp.zeros((Ht * W32, kpad - k), jnp.int8)
     for dh in range(ksize):
         for dw in range(ksize):
             j = dh * ksize + dw
@@ -312,21 +318,23 @@ def conv3x3_rs(
     h_out = h if ksize == 3 else h - 1
     w_out = wd if ksize == 3 else wd - 1
 
-    # channels are lane-padded to a multiple of 128 inside the kernel
-    # (exact: the matching weight rows are zero); only the weights pad here
-    cin = _round_up(cin0, 128)
-    if cin != cin0:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin - cin0), (0, 0)))
+    # A_cat packs taps densely at true-cin lane offsets; only the GEMM
+    # depth pads to a 128 multiple (zero rows in the weights — exact).
+    cin = cin0
+    k = ksize * ksize * cin
+    kpad = _round_up(k, 128)
+    if kpad != k:
+        w = w.reshape(k, cout)
+        w = jnp.pad(w, ((0, kpad - k), (0, 0)))
 
     w32 = _round_up(w_out, 64 if (pool == "pool2" or s2d_out) else 32)
     wp = w32 + 32                  # halo container width (sublane-tileable)
-    k = ksize * ksize * cin        # multiple of 128 already
 
     if not ht:
         for cand in (16, 13, 8, 4, 2, 1):
             if s2d_out and cand % 2:
                 continue
-            if h_out % cand == 0 and cand * w32 * (k + 4 * cout) < 11_000_000:
+            if h_out % cand == 0 and cand * w32 * (kpad + 4 * cout) < 11_000_000:
                 ht = cand
                 break
     assert h_out % ht == 0, (h_out, ht)
@@ -345,7 +353,7 @@ def conv3x3_rs(
     halo = jnp.stack(halos, axis=2)       # (N, nb, ksize-1, wp, cin)
     xblk = xp[:, :h_out]                  # (N, h_out, wp, cin)
 
-    wmat = w.reshape(k, cout)
+    wmat = w if w.ndim == 2 else w.reshape(k, cout)
     scale2 = scale.astype(jnp.float32).reshape(1, cout)
     bias2 = bias.astype(jnp.float32).reshape(1, cout)
 
@@ -371,7 +379,7 @@ def conv3x3_rs(
     out_dtype = jnp.int8 if quantize_out else jnp.float32
     kernel = functools.partial(
         _conv_rs_kernel, W=w_out, W32=w32, Ht=ht, cin0=cin0, cin=cin,
-        cout=cout, act=act, quantize_out=quantize_out, pool=pool,
+        kpad=kpad, cout=cout, act=act, quantize_out=quantize_out, pool=pool,
         ksize=ksize, s2d_out=s2d_out)
 
     out = pl.pallas_call(
@@ -383,7 +391,7 @@ def conv3x3_rs(
             pl.BlockSpec((1, 1, ksize - 1, wp, cin0),
                          lambda nn, ii: (nn, ii, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, cout), lambda nn, ii: (0, 0),
+            pl.BlockSpec((kpad, cout), lambda nn, ii: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cout), lambda nn, ii: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -394,10 +402,10 @@ def conv3x3_rs(
             blk, lambda nn, ii: (nn, ii, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((ht * w32, k), jnp.int8),        # A_cat
+            pltpu.VMEM((ht * w32, kpad), jnp.int8),     # A_cat
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * w32 * k * cout,
+            flops=2 * n * h * w32 * kpad * cout,
             bytes_accessed=int(xblk.size + halo.size + wmat.size
                                + np.prod(out_shape)),
             transcendentals=0),

@@ -204,8 +204,11 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
             f = st.fold
             folder = (fold_conv3x3_k2_weights if st.k == 2
                       else fold_conv3x3_weights)
-            # rs stages use the pool-major group order (fast fused gmax)
-            wf = folder(np.asarray(p["wq"]), f, pool_major=(st.kind == "rs"))
+            # pool-major group order everywhere: the fused group-max is 3
+            # wide vector maxes over contiguous channel slices instead of
+            # a 5D reshape (XLA lowered that reshape to two relayout
+            # copies costing ~590us/iter at batch 32 — xplane-measured)
+            wf = folder(np.asarray(p["wq"]), f, pool_major=True)
             out.append({"wq": jnp.asarray(wf),
                         "s_w": jnp.tile(jnp.asarray(p["s_w"]), f * f),
                         "b": jnp.tile(jnp.asarray(p["b"]), f * f)})
@@ -329,7 +332,17 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
             y = y.astype(jnp.float32) * (cur_scale * pp["s_w"]) + pp["b"]
             y = jnp.where(y > 0, y, 0.1 * y) if st.act == "leaky" else y
             y = quantize_act(y, s_out)
-            x = fold_group_pool_channels(y, f, cout)
+            # pool-major group-max on the requantized s8 tensor: 3 vector
+            # maxes over contiguous channel slices; the surviving
+            # (a*(f/2)+b, co) group order IS the fold-(f/2) layout.
+            # (A/B on v5e conv1-f4 @32: 1.34 ms vs 1.77 for the 5D-reshape
+            # fold_group_pool_channels whose relayout copies dominated;
+            # max on the pre-requant int32 acc was 2.54 ms — XLA then
+            # materializes the 4x bigger i32 accumulator.)
+            go = (f // 2) ** 2 * cout
+            x = jnp.maximum(
+                jnp.maximum(y[..., :go], y[..., go:2 * go]),
+                jnp.maximum(y[..., 2 * go:3 * go], y[..., 3 * go:]))
         cur_fold = f // 2     # gmax output is in fold-(f/2) layout
         if st.kind == "rs" and st.s2d_out:
             cur_fold *= 2     # the kernel emitted the next fold level

@@ -1,0 +1,41 @@
+"""Fused stage-0 kernel (ops/pallas_stage0.py): bit-exact vs the plain-op
+reference chain quantize -> conv1 -> epilogue -> requant -> pool -> s2d(2).
+
+The kernel is experimental (not yet wired into plans: slower than the
+XLA fold chain on v5e until Mosaic grows a fast strided-sublane gather —
+see the module docstring); correctness is locked here so it stays
+integrable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dnn_inference_engine_tpu.ops.pallas_stage0 import (
+    stage0_fused, stage0_params)
+from dnn_inference_engine_tpu.ops.pallas_conv import space_to_depth
+from dnn_inference_engine_tpu.ops.pool import maxpool
+from dnn_inference_engine_tpu.quant.quantize import (
+    quantize_act, quantize_weights_per_channel)
+
+
+def test_stage0_fused_bit_exact(rng):
+    x = jnp.asarray(rng.uniform(0, 1, (1, 416, 416, 3)), jnp.float32)
+    w = rng.normal(size=(3, 3, 3, 16)).astype(np.float32) * 0.2
+    wq, s_w = quantize_weights_per_channel(jnp.asarray(w))
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32) * 0.1
+    s_in, s_out = 1 / 127.0, 0.05
+
+    xq = quantize_act(x, jnp.float32(s_in))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_in * s_w) + b
+    y = jnp.where(y > 0, y, 0.1 * y)
+    yq = quantize_act(y, jnp.float32(s_out))
+    ref = space_to_depth(maxpool(yq, 2, 2, "VALID"), 2)
+
+    wb, scale, bias = stage0_params(wq, s_w, b, s_in, s_out, ht=4)
+    got = stage0_fused(x, wb, scale, bias, s_in, ht=4)
+    assert got.shape == (1, 104, 104, 64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
