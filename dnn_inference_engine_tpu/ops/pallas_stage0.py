@@ -248,3 +248,169 @@ def stage0_params(wq, s_w, b, s_in: float, s_out: float, ht: int = 4):
         np.asarray(wq), np.asarray(s_w), np.asarray(b), s_in, s_out)
     wb = expand_stage0_weights(wk, ht)
     return (jnp.asarray(wb), jnp.asarray(scale), jnp.asarray(bias))
+
+
+# ---------------------------------------------------------------------------
+# v2: shuffle-free formulation (transposed-LHS GEMMs over a row-interleaved
+# XLA-side layout) — every in-kernel access is a contiguous slice.
+# ---------------------------------------------------------------------------
+
+def build_stage0_weights_v2(wq: np.ndarray, s_w: np.ndarray, b: np.ndarray,
+                            s_in: float, s_out: float):
+    """conv1 params -> (W (3,128,256) int8, scale (64,), bias (64,)).
+
+    The input is pre-transformed to sublanes (r*12 + m) with m = 3*u + c
+    (u = column-within-4-block, c = channel) and lanes = x. For output
+    row y the kernel takes the contiguous sublane window starting at
+    48*y (72 true K entries + zero-weighted tail to 128) and runs one
+    transposed-LHS GEMM per lane shift sigma = s-1 in {-1,0,1}:
+
+      W[s, (o_r+1)*12 + 3*u + c, g*16 + co] = wq[dh+1, dw+1, c, co]
+        with dh = o_r - r, dw = (4*(s-1) + u) - q, both in {-1,0,1};
+        g pool-major: (r%2*2 + q%2)*4 + (r//2*2 + q//2)
+
+    so the fused 2x2/s2 maxpool is a max over 4 contiguous 64-channel
+    slices and the surviving (a*2+b, co) order is the fold-2 layout
+    conv2's folded stage consumes.
+    """
+    wq = np.asarray(wq)
+    assert wq.shape == (3, 3, 3, 16), wq.shape
+    cout = 16
+    w = np.zeros((3, 128, 256), np.int8)
+    for s in range(3):
+        for o_r in range(-1, 5):
+            for u in range(4):
+                for c in range(3):
+                    krow = (o_r + 1) * 12 + 3 * u + c
+                    jc = 4 * (s - 1) + u
+                    for r in range(4):
+                        dh = o_r - r
+                        if dh not in (-1, 0, 1):
+                            continue
+                        for q in range(4):
+                            dw = jc - q
+                            if dw not in (-1, 0, 1):
+                                continue
+                            g = ((r % 2) * 2 + q % 2) * 4 \
+                                + (r // 2) * 2 + q // 2
+                            w[s, krow, g * cout:(g + 1) * cout] = \
+                                wq[dh + 1, dw + 1, c]
+    scale = np.tile(np.asarray(s_w, np.float32), 4) * (s_in / s_out)
+    bias = np.tile(np.asarray(b, np.float32), 4) / s_out
+    return w, scale.astype(np.float32), bias.astype(np.float32)
+
+
+def _stage0_v2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, inv_ref,
+                      out_ref, *, ht, w4, act):
+    # window: 12 halo sublanes (row above) + block + 12 (row below)
+    xwin = jnp.concatenate(
+        [halo_ref[0, 0, 0], xb_ref[0], halo_ref[0, 0, 1]], axis=0)
+    xq = jnp.clip(jnp.round(xwin * inv_ref[0, 0]), -QMAX, QMAX)
+    xq = xq.astype(jnp.int8)
+    # rows: slice window for the last y is [48*(ht-1) .. +128]; pad
+    # tail rows (zero weights there) and 1+23 lane cols (SAME padding +
+    # lane shifts; x=0's left neighbor and x=w4-1's right are zeros)
+    need = 48 * (ht - 1) + 128
+    xq = jnp.pad(xq, ((0, need - (48 * ht + 24)), (1, 23)))
+    for y in range(ht):
+        acc = None
+        for s in range(3):
+            a = jax.lax.slice(xq, (48 * y, s), (48 * y + 128, s + w4))
+            d = jax.lax.dot_general(
+                a, w_ref[s], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        # 2x2/s2 maxpool on the int32 accumulator (in VMEM — free of the
+        # XLA-side i32 materialization concern; exact: scale > 0 and the
+        # epilogue + round/clip are monotone per channel), then the f32
+        # epilogue touches only the surviving 64 channels
+        am = jnp.maximum(
+            jnp.maximum(jax.lax.slice(acc, (0, 0), (w4, 64)),
+                        jax.lax.slice(acc, (0, 64), (w4, 128))),
+            jnp.maximum(jax.lax.slice(acc, (0, 128), (w4, 192)),
+                        jax.lax.slice(acc, (0, 192), (w4, 256))))
+        yf = am.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+        if act == "leaky":
+            yf = jnp.where(yf > 0, yf, LEAKY_SLOPE * yf)
+        elif act == "relu":
+            yf = jnp.maximum(yf, 0.0)
+        yf = jnp.clip(jnp.round(yf), -QMAX, QMAX)
+        out_ref[0, y] = yf.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "ht", "interpret"))
+def stage0_fused_v2(
+    x: jnp.ndarray,             # (N, 416, 416, 3) f32 raw input
+    w: jnp.ndarray,             # (3, 128, 256) int8, build_stage0_weights_v2
+    scale: jnp.ndarray,         # (64,) f32 (includes s_in/s_out)
+    bias: jnp.ndarray,          # (64,) f32 (includes 1/s_out)
+    s_in,
+    act: str = "leaky",
+    ht: int = 8,                # output rows per grid block (104 % ht == 0)
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Shuffle-free stage 0; returns (N, 104, 104, 64) int8 = fold-2
+    layout of maxpool2x2(conv1(x)) requantized to s_out.
+
+    XLA pre-transform: (N,416,416,3) -> (N, 416*12, 104) with sublane
+    (r*12 + 3*u + c) and lane x for raw pixel (r, 4x+u, c) — one f32
+    transpose; everything after is contiguous slices + MXU dots.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, c = x.shape
+    assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    h4, w4 = h // 4, wd // 4
+    while h4 % ht:
+        ht //= 2
+    xt = x.reshape(n, h, w4, 12).transpose(0, 1, 3, 2).reshape(n, h * 12, w4)
+    nb = h4 // ht
+    sblk = 48 * ht                                   # sublanes per block
+    xp = jnp.pad(xt, ((0, 0), (12, 12), (0, 0)))     # halo rows -1 and h
+    # halo sublane windows: [block_start - 12, ..) and [block_end, +12)
+    top = jnp.stack([xp[:, i * sblk:i * sblk + 12] for i in range(nb)], 1)
+    bot = jnp.stack(
+        [xp[:, (i + 1) * sblk + 12:(i + 1) * sblk + 24] for i in range(nb)],
+        1)
+    halo = jnp.stack([top, bot], axis=2)             # (N, nb, 2, 12, w4)
+
+    inv = jnp.asarray(1.0 / s_in, jnp.float32).reshape(1, 1)
+    scale2 = scale.reshape(1, 64)
+    bias2 = bias.reshape(1, 64)
+
+    kernel = functools.partial(_stage0_v2_kernel, ht=ht, w4=w4, act=act)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, sblk, w4), lambda nn, ii: (nn, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, 12, w4), lambda nn, ii: (nn, ii, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 128, 256), lambda nn, ii: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w4, 64),
+                               lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h4, w4, 64), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h4 * w4 * 3 * 128 * 256,
+            bytes_accessed=int(xt.size * 4 + n * h4 * w4 * 64),
+            transcendentals=0),
+        interpret=interpret,
+    )(xt, halo, w, scale2, bias2, inv)
+    return out
+
+
+def stage0_params_v2(wq, s_w, b, s_in: float, s_out: float):
+    """Host-side one-shot: conv1 qparams -> v2 kernel operands."""
+    w, scale, bias = build_stage0_weights_v2(
+        np.asarray(wq), np.asarray(s_w), np.asarray(b), s_in, s_out)
+    return jnp.asarray(w), jnp.asarray(scale), jnp.asarray(bias)

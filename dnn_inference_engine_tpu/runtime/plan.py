@@ -69,7 +69,7 @@ class Stage:
 
 
 _CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
-               "xla": "xla", "gemm": "gemm", "auto": "auto"}
+               "xla": "xla", "gemm": "gemm", "auto": "auto", "s0": "s0"}
 
 # measured-fastest strategy for YOLOv2-tiny @ batch 32 on v5e.
 # conv1 folds at f=4: its fold-2 shape (208,208,12)->64 hits XLA's slow
@@ -85,7 +85,11 @@ _CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
 _YOLOV2_STRATEGY = {
     # A/B same-job min-of-5 on v5e (batch 32): this mix 4.39 ms/batch vs
     # 5.41 for the all-rs chain and 5.51 for xla-early+gemm-late.
-    0: ("fold_xla", 4),     # conv1 folded f4; fold-2 output chains to conv2
+    # conv1: fold_xla beat the custom fused stem kernel ("s0" kind,
+    # ops/pallas_stage0.py) 4.15 vs 4.40 ms whole-net in a same-process
+    # A/B — XLA's folded-conv emitter + the pool-major group-max is
+    # already near the chain's practical floor on this Mosaic version
+    0: ("fold_xla", 4),
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
     4: ("rs", 2),           # conv3: rs kernel f2 + fused gmax
     6: ("xla", 1),          # conv4: XLA direct + pool
@@ -151,6 +155,11 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             entry = strategy.get(li, ("auto", 1))
             kind, fold = entry[0], entry[1]
             opts = entry[2] if len(entry) > 2 else {}
+            if kind == "s0" and not (
+                    li == 0 and model.in_ch == 3 and model.input_size == 416
+                    and layer.ksize == 3 and layer.out_ch == 16
+                    and layer.stride == 1):
+                kind = "fold_xla"   # shape-specialized kernel; degrade
             pool_li = None
             nxt = li + 1
             if (fold > 1 and nxt < len(layers)
@@ -200,6 +209,16 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
     out: List[Dict] = []
     for st in stages:
         p = qparams[st.conv_li] if st.conv_li < len(qparams) else {}
+        if st.kind == "s0":
+            from dnn_inference_engine_tpu.ops.pallas_stage0 import (
+                build_stage0_weights_v2)
+            wv, _, _ = build_stage0_weights_v2(
+                np.asarray(p["wq"]), np.ones(16, np.float32),
+                np.zeros(16, np.float32), 1.0, 1.0)
+            out.append({"wv": jnp.asarray(wv),
+                        "s_w": jnp.asarray(p["s_w"]),
+                        "b": jnp.asarray(p["b"])})
+            continue
         if st.fold > 1:
             f = st.fold
             folder = (fold_conv3x3_k2_weights if st.k == 2
@@ -288,6 +307,16 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
         return x, None, cur_fold
 
     # ---- conv stages ----
+    if st.kind == "s0":
+        # fused stem kernel: quantize + conv1 + pool + fold-2 emit in one
+        # HBM pass (ops/pallas_stage0.py); takes the raw f32 input
+        from dnn_inference_engine_tpu.ops.pallas_stage0 import stage0_fused_v2
+        assert cur_scale is None and cur_fold == 1
+        s_in = jnp.float32(act_scales[li])
+        scale = jnp.tile(pp["s_w"], 4) * (s_in / s_next)
+        bias = jnp.tile(pp["b"], 4) / s_next
+        x = stage0_fused_v2(x, pp["wv"], scale, bias, s_in, act=st.act)
+        return x, s_next, 2
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
         x = quantize_act(x, cur_scale)

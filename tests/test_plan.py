@@ -112,3 +112,35 @@ def test_yolov3_plan_matches_generic(rng):
 def test_resnet18_plan_matches_generic(rng):
     from dnn_inference_engine_tpu.models.resnet18 import resnet18
     _plan_vs_generic(resnet18(num_classes=10, input_size=64), rng, 64)
+
+
+def test_s0_strategy_kind(rng):
+    """The 's0' fused-stem strategy kind (ops/pallas_stage0.py) is plan-
+    selectable and matches the default plan's numerics."""
+    from dnn_inference_engine_tpu.runtime.plan import _YOLOV2_STRATEGY
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(2))
+    images = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=1)
+    qparams = quantize_model_params(model.init_params(jax.random.PRNGKey(2)),
+                                    model.layers)
+    strat = dict(_YOLOV2_STRATEGY)
+    strat[0] = ("s0", 4)
+    plan = build_plan(model, strat)
+    assert plan is not None
+    # 64x64 input: input_size is still 416 on the model config, so the
+    # kernel itself runs (shape-generic); compare vs the default plan
+    pp = prepare_plan_params(model, qparams, plan)
+    got = np.asarray(plan_forward_w8a8(model, plan, pp, scales,
+                                       jnp.asarray(images)))
+    ref_plan = build_plan(model)
+    ref_pp = prepare_plan_params(model, qparams, ref_plan)
+    ref = np.asarray(plan_forward_w8a8(model, ref_plan, ref_pp, scales,
+                                       jnp.asarray(images)))
+    # equal up to fma-vs-mul+add f32 epilogue rounding (the s0 kernel
+    # pools the int32 accumulator before the epilogue; the fold_xla
+    # stage pools after requant — mathematically identical, but the two
+    # compilations may fuse the f32 ops differently)
+    assert np.mean(np.isclose(got, ref, rtol=1e-3, atol=1e-3)) > 0.99
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
