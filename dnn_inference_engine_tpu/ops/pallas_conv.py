@@ -178,6 +178,51 @@ def fold_group_pool_channels(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
     return y.reshape(*lead, fo * fo * cout)
 
 
+def _qs2d_kernel(xb_ref, inv_ref, o_ref, *, ht, w4):
+    xq = jnp.clip(jnp.round(xb_ref[0] * inv_ref[0, 0]),
+                  -QMAX, QMAX).astype(jnp.int8)
+    # each output row y is exactly the transpose of the contiguous
+    # 48-sublane window starting at 48*y of the row-interleaved input:
+    # out[y, x, 12p + 3q + c] = raw[4y+p, 4x+q, c] = xt[48y + (12p+3q+c), x]
+    for y in range(ht):
+        o_ref[0, y] = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused quantize + space_to_depth(4): (N,H,W,3) f32 -> (N,H/4,W/4,48)
+    int8, one HBM pass after an XLA f32 row-interleave transpose.
+
+    Replaces the XLA chain quantize_act -> space_to_depth whose s8
+    layout-assignment copies cost ~0.7 ms/iter at batch 32 on v5e
+    (xplane-measured); this path A/B'd at ~0.5x that, bit-exact.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, c = x.shape
+    assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    h4, w4 = h // 4, wd // 4
+    while h4 % ht:
+        ht //= 2
+    xt = x.reshape(n, h, w4, 12).transpose(0, 1, 3, 2).reshape(n, h * 12, w4)
+    inv = jnp.asarray(1.0 / s_in, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(_qs2d_kernel, ht=ht, w4=w4),
+        grid=(n, h4 // ht),
+        in_specs=[
+            pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w4, 48), lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h4, w4, 48), jnp.int8),
+        interpret=interpret,
+    )(xt, inv)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

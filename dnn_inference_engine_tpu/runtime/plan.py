@@ -319,7 +319,17 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
         return x, s_next, 2
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
-        x = quantize_act(x, cur_scale)
+        if (st.fold == 4 and st.k == 3 and cur_fold == 1
+                and x.shape[-1] == 3 and x.shape[1] % 8 == 0
+                and x.shape[2] % 8 == 0):
+            # fused quantize+s2d(4) kernel: skips the XLA s8 relayout
+            # copies (~0.7 ms/iter at batch 32; see pallas_conv.py)
+            from dnn_inference_engine_tpu.ops.pallas_conv import (
+                quant_space_to_depth4)
+            x = quant_space_to_depth4(x, cur_scale)
+            cur_fold = 4
+        else:
+            x = quantize_act(x, cur_scale)
     # layout: folded stages consume s2d(fold) of the plain tensor; the
     # k=2 formulation consumes the SHIFTED fold (never chainable)
     if st.fold > 1 and st.k == 2:
