@@ -83,21 +83,29 @@ _CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
 # Profiling showed XLA s2d/relayout copies previously cost more than all
 # conv kernels combined (~2.2 ms/iter at batch 32).
 _YOLOV2_STRATEGY = {
-    # A/B same-job min-of-5 on v5e (batch 32): this mix 4.39 ms/batch vs
-    # 5.41 for the all-rs chain and 5.51 for xla-early+gemm-late.
-    # conv1: fold_xla beat the custom fused stem kernel ("s0" kind,
-    # ops/pallas_stage0.py) 4.15 vs 4.40 ms whole-net in a same-process
-    # A/B — XLA's folded-conv emitter + the pool-major group-max is
-    # already near the chain's practical floor on this Mosaic version
-    0: ("fold_xla", 4),
+    # Re-swept per-layer on v5e (batch 32, same-process min-of-3 A/B)
+    # after the pool-major gmax + fused quant+s2d input kernel landed:
+    # - conv1 fold_xla f4 beat the custom fused stem kernel ("s0" kind,
+    #   ops/pallas_stage0.py) 4.15 vs 4.40 ms whole-net, and the rs tier
+    #   (2.1 ms for the stage alone);
+    # - conv3 via plain XLA conv beat rs-f2 (3.50 vs 3.97 whole-net: the
+    #   s2d relayout the folded kernel needs now costs more than the
+    #   conv saves);
+    # - conv5-conv9 via XLA conv beat the im2col+Pallas-GEMM tier
+    #   in-graph (2.25-2.45 vs 3.43-3.51 ms whole-net): XLA fuses the
+    #   requant chain into its convs and skips the patch-matrix HBM
+    #   round trip. The Pallas GEMM still wins STANDALONE (roofline on
+    #   conv8 shapes vs 84% for XLA dot) — the in-graph loser is the
+    #   extract_patches materialization, not the kernel.
+    0: ("fold_xla", 4),     # conv1 folded f4 (+ fused quant+s2d input)
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
-    4: ("rs", 2),           # conv3: rs kernel f2 + fused gmax
-    6: ("xla", 1),          # conv4: XLA direct + pool
-    8: ("gemm", 1),         # conv5-conv9: flat Pallas GEMM tier
-    10: ("gemm", 1),
-    12: ("gemm", 1),
-    13: ("gemm", 1),
-    14: ("gemm", 1),
+    4: ("xla", 1),
+    6: ("xla", 1),
+    8: ("xla", 1),
+    10: ("xla", 1),
+    12: ("xla", 1),
+    13: ("xla", 1),
+    14: ("xla", 1),
 }
 
 # YOLOv3-tiny: layers 0-10 have the same shapes as YOLOv2-tiny conv1-6,
@@ -106,25 +114,25 @@ _YOLOV2_STRATEGY = {
 _YOLOV3_STRATEGY = {
     0: ("fold_xla", 4),
     2: ("fold_xla", 2),
-    4: ("rs", 2),
+    4: ("xla", 1),
     6: ("xla", 1),
-    8: ("gemm", 1),         # 26x26x128->256, route target for head 2
-    10: ("gemm", 1),        # 13x13x256->512
-    12: ("gemm", 1),        # 13x13x512->1024
-    13: ("gemm", 1),        # 1x1 1024->256
-    14: ("gemm", 1),        # 3x3 256->512
-    15: ("gemm", 1),        # 1x1 head (linear)
-    17: ("xla", 1),         # 1x1 256->128 (tiny; K=256 below GEMM-tier floor)
-    20: ("gemm", 1),        # 26x26 384->256 after route concat
-    21: ("xla", 1),         # 1x1 head (linear)
+    8: ("xla", 1),
+    10: ("xla", 1),
+    12: ("xla", 1),
+    13: ("xla", 1),
+    14: ("xla", 1),
+    15: ("xla", 1),
+    17: ("xla", 1),
+    20: ("xla", 1),
+    21: ("xla", 1),
 }
 
 _DEFAULT_STRATEGIES = {
     "yolov2-tiny": _YOLOV2_STRATEGY,
     "yolov3-tiny": _YOLOV3_STRATEGY,
-    # resnet18: no entry -> every conv defaults to ("auto", 1); the 7x7
-    # stem (cin=3) and 1x1 projections take XLA, the deep 3x3 blocks the
-    # Pallas GEMM tier, per ops/dispatch.py thresholds.
+    # resnet18: no entry -> every conv defaults to ("xla", 1). Measured
+    # (224x224 batch 32, v5e): all-xla 1.10 ms vs 2.27 ms for the
+    # dispatch-auto mix that routed deep blocks to the im2col+GEMM tier.
 }
 
 
@@ -152,7 +160,7 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
     while li < len(layers):
         layer = layers[li]
         if isinstance(layer, Conv):
-            entry = strategy.get(li, ("auto", 1))
+            entry = strategy.get(li, ("xla", 1))
             kind, fold = entry[0], entry[1]
             opts = entry[2] if len(entry) > 2 else {}
             if kind == "s0" and not (

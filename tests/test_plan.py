@@ -27,10 +27,10 @@ def test_plan_builds_for_yolov2():
     assert plan is not None
     convs = [s for s in plan if s.kind != "pool"]
     assert len(convs) == 9
-    # conv1/conv2 folded (absorbing their pools); conv3 via the rs kernel
+    # conv1/conv2 folded (absorbing their pools); the rest measured-xla
     assert convs[0].fold == 4 and convs[0].pool_li == 1
     assert convs[1].fold == 2
-    assert convs[2].kind == "rs" and convs[2].fold == 2
+    assert convs[2].kind == "xla"
     assert convs[-1].s_out_is_final
 
 
