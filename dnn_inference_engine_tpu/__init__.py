@@ -27,17 +27,28 @@ def _enable_compilation_cache() -> None:
 
     Opt out with DIE_TPU_NO_COMPILE_CACHE=1 or point elsewhere with
     DIE_TPU_COMPILE_CACHE_DIR. Applied lazily via jax.config so importing
-    this package never initializes a backend.
+    this package never initializes a backend. User-set configuration wins:
+    if the cache dir is already configured (via JAX_COMPILATION_CACHE_DIR
+    or an earlier jax.config call), nothing is touched.
     """
     if _os.environ.get("DIE_TPU_NO_COMPILE_CACHE") == "1":
         return
-    cache_dir = _os.environ.get(
-        "DIE_TPU_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
-                      ".jax_cache"))
     import jax
+    if (_os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or jax.config.jax_compilation_cache_dir):
+        return     # respect existing user configuration
+    repo_cache = _os.path.join(
+        _os.path.dirname(_os.path.dirname(__file__)), ".jax_cache")
+    cache_dir = _os.environ.get("DIE_TPU_COMPILE_CACHE_DIR") or (
+        # keep a pre-existing source-tree cache warm (dev checkouts);
+        # never CREATE one there — installed packages get ~/.cache
+        repo_cache if _os.path.isdir(repo_cache)
+        else _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "dnn_inference_engine_tpu", "jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if jax.config.jax_persistent_cache_min_compile_time_secs == 1.0:
+        # 1.0 is jax's default; only lower it if the user hasn't changed it
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 _enable_compilation_cache()

@@ -178,8 +178,11 @@ def fold_group_pool_channels(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
     return y.reshape(*lead, fo * fo * cout)
 
 
-def _qs2d_kernel(xb_ref, inv_ref, o_ref, *, ht, w4):
-    xq = jnp.clip(jnp.round(xb_ref[0] * inv_ref[0, 0]),
+def _qs2d_kernel(xb_ref, s_ref, o_ref, *, ht, w4):
+    # divide by the scale (NOT multiply by a precomputed reciprocal): this
+    # matches quantize_act bit-for-bit for every scale, not only scales
+    # whose reciprocal is exactly representable
+    xq = jnp.clip(jnp.round(xb_ref[0] / s_ref[0, 0]),
                   -QMAX, QMAX).astype(jnp.int8)
     # each output row y is exactly the transpose of the contiguous
     # 48-sublane window starting at 48*y of the row-interleaved input:
@@ -206,7 +209,7 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
     while h4 % ht:
         ht //= 2
     xt = x.reshape(n, h, w4, 12).transpose(0, 1, 3, 2).reshape(n, h * 12, w4)
-    inv = jnp.asarray(1.0 / s_in, jnp.float32).reshape(1, 1)
+    s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
     return pl.pallas_call(
         functools.partial(_qs2d_kernel, ht=ht, w4=w4),
         grid=(n, h4 // ht),
@@ -220,7 +223,7 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h4, w4, 48), jnp.int8),
         interpret=interpret,
-    )(xt, inv)
+    )(xt, s)
 
 
 # ---------------------------------------------------------------------------
@@ -242,13 +245,10 @@ def _parity_extract(y3, ht, w32, u, v, cdim):
 
 def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
                     acat,
-                    *, W, W32, Ht, cin0, cin, kpad, cout, act, quantize_out,
+                    *, W, W32, Ht, cin, kpad, cout, act, quantize_out,
                     pool, ksize, s2d_out):
     # window = this row-block + the (ksize-1) halo rows below it
     xwin = jnp.concatenate([xb_ref[0], halo_ref[0, 0]], axis=0)
-    if cin != cin0:
-        # lane-pad channels in VMEM: HBM traffic stays at the true Cin
-        xwin = jnp.pad(xwin, ((0, 0), (0, 0), (0, cin - cin0)))
 
     # assemble the implicit-im2col matrix in VMEM. When cin is already a
     # multiple of 128 every lane write is tile-aligned; otherwise the
@@ -366,6 +366,7 @@ def conv3x3_rs(
     # A_cat packs taps densely at true-cin lane offsets; only the GEMM
     # depth pads to a 128 multiple (zero rows in the weights — exact).
     cin = cin0
+    del cin0
     k = ksize * ksize * cin
     kpad = _round_up(k, 128)
     if kpad != k:
@@ -423,7 +424,7 @@ def conv3x3_rs(
 
     out_dtype = jnp.int8 if quantize_out else jnp.float32
     kernel = functools.partial(
-        _conv_rs_kernel, W=w_out, W32=w32, Ht=ht, cin0=cin0, cin=cin,
+        _conv_rs_kernel, W=w_out, W32=w32, Ht=ht, cin=cin,
         kpad=kpad, cout=cout, act=act, quantize_out=quantize_out, pool=pool,
         ksize=ksize, s2d_out=s2d_out)
 
@@ -431,9 +432,9 @@ def conv3x3_rs(
         kernel,
         grid=(n, nb),
         in_specs=[
-            pl.BlockSpec((1, ht, wp, cin0), lambda nn, ii: (nn, ii, 0, 0),
+            pl.BlockSpec((1, ht, wp, cin), lambda nn, ii: (nn, ii, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ksize - 1, wp, cin0),
+            pl.BlockSpec((1, 1, ksize - 1, wp, cin),
                          lambda nn, ii: (nn, ii, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kpad, cout), lambda nn, ii: (0, 0),
@@ -450,7 +451,7 @@ def conv3x3_rs(
             pltpu.VMEM((ht * w32, kpad), jnp.int8),     # A_cat
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * w32 * kpad * cout,
+            flops=2 * n * h_out * w32 * k * cout,
             bytes_accessed=int(xblk.size + halo.size + wmat.size
                                + np.prod(out_shape)),
             transcendentals=0),

@@ -133,13 +133,13 @@ def expand_stage0_weights(wk: np.ndarray, ht: int) -> np.ndarray:
     return wb
 
 
-def _stage0_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, inv_ref,
+def _stage0_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                    out_ref, bmat, tsc, *, ht, wlanes, act):
     rows = 4 * ht + 8
     # window: above-halo row + block rows + below-halo row  (4*ht+2, W*3)
     xwin = jnp.concatenate(
         [halo_ref[0, 0, 0:1], xb_ref[0], halo_ref[0, 0, 1:2]], axis=0)
-    xq = jnp.clip(jnp.round(xwin * inv_ref[0, 0]), -QMAX, QMAX)
+    xq = jnp.clip(jnp.round(xwin / s_ref[0, 0]), -QMAX, QMAX)
     xq = xq.astype(jnp.int8)
     # pad: 6 junk rows complete the last output row's 8-lane band (they
     # hit all-zero weight rows); 12 cols each side = x-block shift halo
@@ -203,7 +203,7 @@ def stage0_fused(
     bot = xp[:, rblk + 1::rblk][:, :nb]              # (N, nb) row end of blk
     halo = jnp.stack([top, bot], axis=2)             # (N, nb, 2, wl)
 
-    inv = jnp.asarray(1.0 / s_in, jnp.float32).reshape(1, 1)
+    s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
     scale2 = scale.reshape(1, 64)
     bias2 = bias.reshape(1, 64)
 
@@ -238,7 +238,7 @@ def stage0_fused(
             bytes_accessed=int(xr.size * 4 + n * 104 * 104 * 64),
             transcendentals=0),
         interpret=interpret,
-    )(xr, halo, wb, scale2, bias2, inv)
+    )(xr, halo, wb, scale2, bias2, s)
     return out
 
 
@@ -300,12 +300,12 @@ def build_stage0_weights_v2(wq: np.ndarray, s_w: np.ndarray, b: np.ndarray,
     return w, scale.astype(np.float32), bias.astype(np.float32)
 
 
-def _stage0_v2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, inv_ref,
+def _stage0_v2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                       out_ref, *, ht, w4, act):
     # window: 12 halo sublanes (row above) + block + 12 (row below)
     xwin = jnp.concatenate(
         [halo_ref[0, 0, 0], xb_ref[0], halo_ref[0, 0, 1]], axis=0)
-    xq = jnp.clip(jnp.round(xwin * inv_ref[0, 0]), -QMAX, QMAX)
+    xq = jnp.clip(jnp.round(xwin / s_ref[0, 0]), -QMAX, QMAX)
     xq = xq.astype(jnp.int8)
     # rows: slice window for the last y is [48*(ht-1) .. +128]; pad
     # tail rows (zero weights there) and 1+23 lane cols (SAME padding +
@@ -374,7 +374,7 @@ def stage0_fused_v2(
         1)
     halo = jnp.stack([top, bot], axis=2)             # (N, nb, 2, 12, w4)
 
-    inv = jnp.asarray(1.0 / s_in, jnp.float32).reshape(1, 1)
+    s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
     scale2 = scale.reshape(1, 64)
     bias2 = bias.reshape(1, 64)
 
@@ -405,7 +405,7 @@ def stage0_fused_v2(
             bytes_accessed=int(xt.size * 4 + n * h4 * w4 * 64),
             transcendentals=0),
         interpret=interpret,
-    )(xt, halo, w, scale2, bias2, inv)
+    )(xt, halo, w, scale2, bias2, s)
     return out
 
 

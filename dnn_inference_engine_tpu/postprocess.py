@@ -205,8 +205,11 @@ def host_nms(boxes: np.ndarray, scores: np.ndarray,
         sc = scores[:, c]
         cand = np.where(sc > score_thresh)[0]
         cand = cand[np.argsort(-sc[cand], kind="stable")]
+        # no per-class cap here: max_det applies to the merged cross-class
+        # list below (keeps native and numpy backends output-identical
+        # even when one class alone has > max_det survivors)
         kept_local = native_nms(bx[cand], sc[cand], iou_thresh,
-                                score_thresh, max_det)
+                                score_thresh, len(cand))
         if kept_local is not None:
             kept = cand[kept_local]
         else:

@@ -52,6 +52,7 @@ class Engine:
         """Load from .npz checkpoint / .pkl pytree / darknet .weights, or
         initialize randomly (synthetic-weight mode when no file exists)."""
         path = path or self.config.weights
+        self._weights_from_file = path is not None
         if path is None:
             self.fp32_params = self.model.init_params(
                 key if key is not None else jax.random.PRNGKey(0))
@@ -88,7 +89,21 @@ class Engine:
                     self.model, self.params, self._plan)
         if mode == "w8a8" and self.act_scales is None:
             if calib_images is None:
-                # fallback: uniform-noise calibration (synthetic weights)
+                # fallback: uniform-noise calibration. Fine for synthetic
+                # weights; an accuracy footgun for real ones — scales from
+                # noise can be arbitrarily wrong for natural images.
+                if getattr(self, "_weights_from_file", False):
+                    raise ValueError(
+                        "w8a8 with file-loaded weights needs real "
+                        "calibration images: pass calib_images to "
+                        "prepare(), load a checkpoint with saved scales, "
+                        "or set config.calib. (Uniform-noise fallback is "
+                        "only allowed for randomly initialized weights.)")
+                import warnings
+                warnings.warn(
+                    "w8a8 calibration falling back to uniform noise "
+                    "(synthetic-weights mode); activation scales will not "
+                    "match natural images", stacklevel=2)
                 calib_images = np.random.default_rng(0).uniform(
                     0, 1, (8, self.config.input_size,
                            self.config.input_size, 3)).astype(np.float32)

@@ -163,6 +163,10 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             entry = strategy.get(li, ("xla", 1))
             kind, fold = entry[0], entry[1]
             opts = entry[2] if len(entry) > 2 else {}
+            if kind not in _CONV_KINDS:
+                raise ValueError(
+                    f"unknown plan strategy kind {kind!r} for layer {li}; "
+                    f"valid kinds: {sorted(_CONV_KINDS)}")
             if kind == "s0" and not (
                     li == 0 and model.in_ch == 3 and model.input_size == 416
                     and layer.ksize == 3 and layer.out_ch == 16

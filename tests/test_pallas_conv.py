@@ -180,3 +180,20 @@ def test_plan_with_rs2_strategy(rng):
     got = np.asarray(plan_forward_w8a8(model, plan, pp, scales, x))
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_quant_space_to_depth4_bit_exact(rng):
+    """Fused quantize+s2d(4) kernel vs quantize_act -> space_to_depth,
+    including a 416x416 shape (multiple grid blocks) and a scale whose
+    reciprocal is NOT exactly representable (the kernel divides in-kernel,
+    so parity must hold for arbitrary scales)."""
+    from dnn_inference_engine_tpu.ops.pallas_conv import quant_space_to_depth4
+    from dnn_inference_engine_tpu.quant.quantize import quantize_act
+
+    for n, h, w, s_in in [(1, 416, 416, 0.0123), (2, 64, 64, 1 / 127.0),
+                          (1, 32, 96, 0.007919)]:
+        x = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 3)), jnp.float32)
+        ref = space_to_depth(quantize_act(x, jnp.float32(s_in)), 4)
+        got = quant_space_to_depth4(x, jnp.float32(s_in))
+        assert got.shape == ref.shape == (n, h // 4, w // 4, 48)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

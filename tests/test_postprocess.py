@@ -84,3 +84,29 @@ def test_cxcywh_to_xyxy():
     b = np.array([[10, 20, 4, 8]], np.float32)
     np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(b)),
                                [[8, 16, 12, 24]])
+
+
+def test_host_nms_backends_agree_over_max_det(rng, monkeypatch):
+    """One class with > max_det mutually non-overlapping survivors: the
+    native and numpy backends must return identical (merged, capped)
+    results — the cap applies to the merged cross-class list only."""
+    from dnn_inference_engine_tpu.postprocess import host_nms
+    import dnn_inference_engine_tpu.runtime.native_bridge as nb
+
+    m, max_det = 40, 8
+    # non-overlapping boxes on a diagonal, all same class, all above thresh
+    cx = np.arange(m, dtype=np.float32) * 50 + 20
+    boxes = np.stack([cx, cx, np.full(m, 20, np.float32),
+                      np.full(m, 20, np.float32)], axis=-1)
+    scores = np.zeros((m, 3), np.float32)
+    scores[:, 1] = np.linspace(0.9, 0.5, m)
+
+    got_native = host_nms(boxes, scores, iou_thresh=0.45,
+                          score_thresh=0.3, max_det=max_det)
+    monkeypatch.setattr(nb, "native_nms", lambda *a, **k: None)
+    got_numpy = host_nms(boxes, scores, iou_thresh=0.45,
+                         score_thresh=0.3, max_det=max_det)
+    for a, b in zip(got_native, got_numpy):
+        np.testing.assert_array_equal(a, b)
+    assert got_native[0].shape == (max_det, 4)
+    assert (got_native[2] == 1).all()
