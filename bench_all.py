@@ -118,8 +118,37 @@ def main():
         results["configs"]["5_scaling"] = {"error": str(e)}
     print(json.dumps({"5_scaling": results["configs"]["5_scaling"]}),
           flush=True)
+    try:
+        results["configs"]["6_stage_roofline"] = bench_stage_roofline()
+    except Exception as e:
+        results["configs"]["6_stage_roofline"] = {"error": str(e)}
+    print(json.dumps({"6_stage_roofline":
+                      results["configs"]["6_stage_roofline"]}), flush=True)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
+
+
+def bench_stage_roofline(model="yolov2-tiny", batch=32):
+    """Per-stage {ms, GOP, roofline %} of the EXECUTED headline plan
+    (SURVEY.md N4 north-star artifact; diffable round-over-round)."""
+    import jax
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+
+    eng = Engine(EngineConfig(model=model, mode="w8a8", kernel="auto",
+                              batch=batch)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    stages = eng.stage_times(batch=batch)
+    total_ms = sum(r["ms"] for r in stages)
+    gop = sum(r["gop"] for r in stages)
+    return {
+        "model": model, "batch": batch,
+        "total_stage_ms": round(total_ms, 4),
+        "e2e_mfu_pct": round(sum(r["gop"] for r in stages)
+                             / max(total_ms, 1e-9) * 1e3 / 394.7e3 * 100, 2)
+        if gop else 0.0,
+        "stages": stages,
+    }
 
 
 if __name__ == "__main__":

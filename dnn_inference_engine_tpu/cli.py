@@ -29,6 +29,15 @@ def _add_common(p):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--config", default=None, help="JSON EngineConfig file")
     p.add_argument("--score-thresh", type=float, default=None)
+    p.add_argument("--mesh", default=None, metavar="DP,MP",
+                   help="(data, model) mesh shape, e.g. 2,2 — shards the "
+                        "whole pipeline over the devices (SURVEY.md N2)")
+    p.add_argument("--sharding", default=None,
+                   choices=["replicated", "channel"],
+                   help="weight sharding policy for --mesh (channel = "
+                        "int32-psum row-parallel conv pair)")
+    p.add_argument("--calib-images", default=None, metavar="DIR",
+                   help="calibration image dir for w8a8 with real weights")
 
 
 def _build_engine(args):
@@ -45,8 +54,23 @@ def _build_engine(args):
     cfg.weights = args.weights or cfg.weights
     if getattr(args, "score_thresh", None) is not None:
         cfg.score_thresh = args.score_thresh
+    if getattr(args, "mesh", None):
+        cfg.mesh_shape = tuple(int(v) for v in args.mesh.split(","))
+        if getattr(args, "sharding", None):
+            cfg.sharding = args.sharding
+        from dnn_inference_engine_tpu.parallel.mesh import apply_overlap_flags
+        apply_overlap_flags()          # before first backend init
+    calib = None
+    if getattr(args, "calib_images", None):
+        import glob
+        from dnn_inference_engine_tpu.preprocess import (
+            load_image, preprocess_image)
+        files = sorted(glob.glob(args.calib_images + "/*"))[:64]
+        calib = np.stack([preprocess_image(load_image(f),
+                                           cfg.input_size)[0]
+                          for f in files])
     eng = Engine(cfg).load_weights()
-    eng.prepare()
+    eng.prepare(calib_images=calib)
     return eng
 
 
@@ -83,6 +107,22 @@ def cmd_bench(args):
 
 def cmd_layer_times(args):
     eng = _build_engine(args)
+    if eng._plan is not None:
+        # fused-plan config: time the EXECUTED stages with roofline %
+        # (SURVEY.md N4). layer_times would time the generic ops the
+        # plan does not run.
+        print(f"# per-stage steady-state times of the executed plan, "
+              f"batch={args.batch}")
+        print(f"{'stage':>5s} {'name':18s} {'ms':>9s} {'GOP':>8s} "
+              f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s}")
+        total = 0.0
+        for r in eng.stage_times(batch=args.batch):
+            print(f"{r['stage']:5d} {r['name']:18s} {r['ms']:9.4f} "
+                  f"{r['gop']:8.3f} {r['gop_exec']:8.3f} "
+                  f"{r['mfu_pct']:7.2f} {r['hw_util_pct']:8.2f}")
+            total += r["ms"]
+        print(f"# TOTAL stages {total:.4f} ms")
+        return
     print(f"# per-layer steady-state times, batch={args.batch}, "
           f"mode={args.mode}, kernel={args.kernel}")
     total = 0.0
@@ -102,11 +142,20 @@ def cmd_eval(args):
 
 def cmd_serve(args):
     from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
+    if args.num_processes and args.num_processes > 1:
+        # multi-host bring-up (BASELINE config 4): overlap flags + the
+        # jax.distributed runtime, one server process per host
+        from dnn_inference_engine_tpu.parallel.mesh import init_distributed
+        init_distributed(coordinator=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
     eng = _build_engine(args)
     batcher = ContinuousBatcher(eng).start()
     batcher.serve_http(args.port)
-    print(f"# serving {args.model} {args.mode} on :{args.port} "
-          f"(max_batch={batcher.max_batch}); /stats for metrics")
+    mesh_note = (f" mesh={eng.config.mesh_shape} {eng.config.sharding}"
+                 if eng.mesh is not None else "")
+    print(f"# serving {args.model} {args.mode}{mesh_note} on :{args.port} "
+          f"(max_batch={batcher.max_batch}); POST /detect, GET /stats")
     try:
         while True:
             time.sleep(10)
@@ -205,6 +254,11 @@ def main(argv=None):
     p = sub.add_parser("serve", help="continuous-batching server")
     _add_common(p)
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total server processes (one per host)")
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("dump-goldens",

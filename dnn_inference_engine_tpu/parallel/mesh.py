@@ -32,10 +32,30 @@ def make_mesh(shape: Tuple[int, int] = (1, 1),
     return Mesh(arr, ("data", "model"))
 
 
+def apply_overlap_flags() -> None:
+    """Append the async-collective XLA flags (SURVEY.md N3) to
+    LIBTPU_INIT_ARGS so the latency-hiding scheduler can overlap the
+    channel pair's psum with neighboring compute. Must run BEFORE the
+    first jax backend initialization; no-op if the flags are already
+    present (idempotent across engine instances)."""
+    import os
+    from dnn_inference_engine_tpu.parallel.shard_map_forward import (
+        async_collective_flags)
+    flags = async_collective_flags()
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    missing = [f for f in flags.split() if f not in cur]
+    if missing:
+        os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + " ".join(missing)).strip()
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host runtime bring-up (BASELINE config 4; no-op if single)."""
+    """Multi-host runtime bring-up (BASELINE config 4).
+
+    Applies the collective/compute-overlap flags, then (for >1 process)
+    initializes the jax.distributed runtime. Call before any jax use."""
+    apply_overlap_flags()
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(

@@ -30,10 +30,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from dnn_inference_engine_tpu.models.layers import Conv, MaxPool, Upsample
 
 
-def _conv_flops(model) -> Dict[int, float]:
+def _conv_flops(model, input_size: Optional[int] = None) -> Dict[int, float]:
     """Per-conv-layer MAC estimate (spatial tracked like dispatch.tier_report)."""
     flops = {}
-    h = w = model.input_size
+    h = w = input_size or model.input_size
     prev_c = model.in_ch
     chans = model.out_channels()
     sizes = []
@@ -54,16 +54,40 @@ def _conv_flops(model) -> Dict[int, float]:
     return flops
 
 
+def _out_of_sequence_refs(model) -> set:
+    """Layer indices whose outputs are consumed out of sequence (Route /
+    Shortcut sources, detection heads)."""
+    refs = set()
+    for layer in model.layers:
+        if hasattr(layer, "layers"):         # Route
+            refs.update(layer.layers)
+        elif hasattr(layer, "frm"):          # Shortcut
+            refs.add(layer.frm)
+    if model.out_layers is not None:
+        refs.update(model.out_layers)
+    return refs
+
+
 def channel_shard_pair(model) -> Optional[Tuple[int, int]]:
     """The (Cout-shard, Cin-shard) conv pair: consecutive convs (channel
-    count preserved between them) maximizing combined FLOPs."""
+    count preserved between them) maximizing combined FLOPs.
+
+    A pair is eligible only if nothing references the first conv's (or
+    any in-between layer's) output out of sequence: that tensor is
+    Cout-SHARDED along 'model', so a Route/Shortcut/head reading it would
+    see one channel slice. The second conv's output is psum-replicated
+    and safe to reference.
+    """
     flops = _conv_flops(model)
+    refs = _out_of_sequence_refs(model)
     conv_ids = sorted(flops)
     best, best_val = None, 0.0
     for a, b in zip(conv_ids, conv_ids[1:]):
         # b must consume a's channels unchanged (only pools/upsamples between)
         between = model.layers[a + 1:b]
         if any(not isinstance(l, (MaxPool, Upsample)) for l in between):
+            continue
+        if any(li in refs for li in range(a, b)):
             continue
         val = flops[a] + flops[b]
         if val > best_val:
@@ -115,7 +139,17 @@ def input_sharding(mesh: Mesh) -> NamedSharding:
 def make_sharded_forward(model, mesh: Mesh, mode: str = "w8a8",
                          act_scales=None, donate: bool = False):
     """jit the full forward with batch-sharded inputs; weight shardings
-    travel with the (already device_put) params. Output replicated."""
+    travel with the (already device_put) params. Output replicated.
+
+    CONTRACT NOTE: this GSPMD tier is the *pure-DP* path (replicated
+    weights; exact — no collectives inside the forward). It still runs
+    with channel-sharded params, but XLA then converts the Cin-sharded
+    conv's int32 partial sums to f32 before its derived psum, flipping a
+    small fraction of requant boundary codes vs single-chip execution.
+    Channel sharding with bit-exact int32 psums is contracted to
+    ``parallel.shard_map_forward.make_shardmap_forward`` — the engine
+    and serve paths use that.
+    """
 
     def fwd(params, x):
         return model.forward(params, x, mode=mode, act_scales=act_scales,

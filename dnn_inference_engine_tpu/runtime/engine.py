@@ -42,6 +42,19 @@ class Engine:
         self._forward_fn = None
         self._plan = None             # fused stage plan (runtime/plan.py)
         self._plan_params = None
+        self._mesh = None             # built lazily from config.mesh_shape
+
+    @property
+    def mesh(self):
+        """(data, model) device mesh when config.mesh_shape spans more
+        than one device; None for single-device configs (SURVEY.md N2)."""
+        dp, mp = self.config.mesh_shape
+        if dp * mp <= 1:
+            return None
+        if self._mesh is None:
+            from dnn_inference_engine_tpu.parallel.mesh import make_mesh
+            self._mesh = make_mesh(self.config.mesh_shape)
+        return self._mesh
 
     # ------------------------------------------------------------------
     # Weights
@@ -111,6 +124,13 @@ class Engine:
                 "w8a8 calibration needs fp32 params")
             self.act_scales = calibrate(self.model, self.fp32_params,
                                         calib_images)
+        if self.mesh is not None:
+            # place every exec param leaf with its NamedSharding so the
+            # sharded programs (parallel/sharded_engine.py) consume them
+            # without resharding transfers
+            from dnn_inference_engine_tpu.parallel.sharded_engine import (
+                shard_engine_params)
+            shard_engine_params(self, self.mesh)
         return self
 
     def save(self, path: str) -> None:
@@ -143,7 +163,12 @@ class Engine:
 
     def forward_fn(self):
         if self._forward_fn is None:
-            self._forward_fn = jax.jit(self._fwd)
+            if self.mesh is not None:
+                from dnn_inference_engine_tpu.parallel.sharded_engine import (
+                    make_sharded_forward_fn)
+                self._forward_fn = make_sharded_forward_fn(self, self.mesh)
+            else:
+                self._forward_fn = jax.jit(self._fwd)
         return self._forward_fn
 
     def _decode(self, heads):
@@ -162,8 +187,18 @@ class Engine:
         raise ValueError(f"{self.model.name} is not a detector")
 
     def detect_fn(self):
-        """image batch -> (boxes xyxy, scores, classes), all on device."""
+        """image batch -> (boxes xyxy, scores, classes), all on device.
+
+        With a mesh configured the returned function is one jitted
+        shard_map program over the whole pipeline (forward + decode +
+        NMS), batch-sharded over 'data' with the channel pair's int32
+        psum over 'model' (SURVEY.md 3.5 / BASELINE config 5)."""
         if self._detect_fn is None:
+            if self.mesh is not None:
+                from dnn_inference_engine_tpu.parallel.sharded_engine import (
+                    make_sharded_detect_fn)
+                self._detect_fn = make_sharded_detect_fn(self, self.mesh)
+                return self._detect_fn
             c = self.config
 
             def run(params, x):
@@ -177,18 +212,95 @@ class Engine:
             self._detect_fn = jax.jit(run)
         return self._detect_fn
 
+    def _device_batch(self, images: np.ndarray) -> jnp.ndarray:
+        """asarray + (when sharded) batch-shard placement over 'data'."""
+        x = jnp.asarray(images)
+        if self.mesh is not None:
+            from dnn_inference_engine_tpu.parallel.sharding import (
+                input_sharding)
+            dp = self.config.mesh_shape[0]
+            if x.shape[0] % dp:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by the data-axis "
+                    f"size {dp}; pad the batch (the serving loop does)")
+            x = jax.device_put(x, input_sharding(self.mesh))
+        return x
+
     def detect(self, images: np.ndarray):
         """Preprocessed image batch (N,S,S,3) f32 -> host numpy results."""
-        b, s, cl = self.detect_fn()(self.exec_params, jnp.asarray(images))
+        b, s, cl = self.detect_fn()(self.exec_params,
+                                    self._device_batch(images))
         return np.asarray(b), np.asarray(s), np.asarray(cl)
 
     def classify(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(
-            self.forward_fn()(self.exec_params, jnp.asarray(images)))
+            self.forward_fn()(self.exec_params, self._device_batch(images)))
 
     # ------------------------------------------------------------------
     # Timing (reference E2 per-layer report)
     # ------------------------------------------------------------------
+
+    def stage_times(self, batch: Optional[int] = None,
+                    iters: Tuple[int, int] = (40, 8)) -> List[Dict]:
+        """Per-stage timing + roofline report for the EXECUTED pipeline.
+
+        Unlike layer_times (which times the generic per-tier conv ops in
+        isolation), this times the actual plan stages — folds, fused
+        kernels, group-max pooling — each on its real in-pipeline input
+        state. Per stage: {name, kind, ms, gop (useful work), gop_exec
+        (MACs the MXU performs under the stage's formulation), mfu_pct
+        (useful-work fraction of int8 peak), hw_util_pct (executed-MAC
+        fraction — how close the kernel itself runs to the hardware)}.
+
+        SURVEY.md N4: this is the per-layer roofline % artifact for the
+        >=95%-of-roofline north star.
+        """
+        from dnn_inference_engine_tpu.runtime.benchlib import (
+            V5E_INT8_TOPS, per_iter_time, roofline_pct)
+        from dnn_inference_engine_tpu.runtime.plan import (
+            _run_stage, plan_forward_w8a8, stage_flops)
+        assert self._plan is not None, (
+            "stage_times needs the fused plan (mode=w8a8, kernel=auto); "
+            "use layer_times for other configs")
+        batch = batch or self.config.batch
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (batch, self.config.input_size, self.config.input_size, 3)
+        ).astype(np.float32))
+        # eager pass capturing each stage's true input state
+        states: List = []
+        plan_forward_w8a8(self.model, self._plan, self._plan_params,
+                          self.act_scales, x, record_states=states)
+        flops = stage_flops(self.model, self._plan,
+                            input_size=self.config.input_size)
+        layers = self.model.layers
+        report: List[Dict] = []
+        for si, st in enumerate(self._plan):
+            x0, cs0, cf0, saved0 = states[si]
+            pp = self._plan_params[si]
+
+            def f(xx, _st=st, _pp=pp, _cs=cs0, _cf=cf0, _sv=saved0):
+                return _run_stage(layers, _st, _pp, xx, _cs, _cf,
+                                  self.act_scales, _sv)[0]
+            t = per_iter_time(f, (x0,), iters_hi=iters[0],
+                              iters_lo=iters[1])
+            t = max(t, 1e-9)     # loop-difference noise on ~0-cost stages
+            useful, executed = flops[si]
+            gop = 2 * useful * batch / 1e9          # MACs -> ops
+            gop_exec = 2 * executed * batch / 1e9
+            report.append({
+                "stage": si,
+                "name": f"L{st.conv_li}_{st.kind}"
+                        + (f"_f{st.fold}" if st.fold > 1 else ""),
+                "kind": st.kind,
+                "ms": round(t * 1e3, 4),
+                "gop": round(gop, 3),
+                "gop_exec": round(gop_exec, 3),
+                "mfu_pct": round(roofline_pct(gop * 1e9, t,
+                                              V5E_INT8_TOPS), 2),
+                "hw_util_pct": round(roofline_pct(gop_exec * 1e9, t,
+                                                  V5E_INT8_TOPS), 2),
+            })
+        return report
 
     def layer_times(self, batch: Optional[int] = None,
                     iters: Tuple[int, int] = (60, 10)) -> List[Tuple[str, float]]:

@@ -249,9 +249,21 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
 
 
 def plan_forward_w8a8(model, stages: Sequence[Stage],
-                      plan_params: Sequence[Dict], act_scales, x):
+                      plan_params: Sequence[Dict], act_scales, x,
+                      pair: Optional[Tuple[int, int]] = None,
+                      axis_name: str = "model",
+                      record_states: Optional[list] = None):
     """Run the fused stage pipeline. x: (N,H,W,3) f32; returns the f32
-    head (or tuple of heads for multi-output models)."""
+    head (or tuple of heads for multi-output models).
+
+    ``pair``: when executing inside a shard_map over a mesh with a
+    channel-sharded conv pair (parallel/shard_map_forward.py), the
+    (Cout-shard, Cin-shard) layer indices. The first pair conv needs no
+    special handling (its plan params are already the local Cout slice);
+    the second runs its local Cin contraction, psums the int32
+    accumulator over ``axis_name``, then the f32 epilogue — so the
+    sharded fused plan stays bit-exact vs single-chip.
+    """
     layers = model.layers
     refs = _referenced_layers(model)
     cur_scale = None
@@ -261,12 +273,17 @@ def plan_forward_w8a8(model, stages: Sequence[Stage],
     saved: Dict[int, Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = {}
     for si, st in enumerate(stages):
         pp = plan_params[si]
+        if record_states is not None:
+            # pre-stage execution state, for per-stage timing of the
+            # EXECUTED pipeline (Engine.stage_times / roofline report)
+            record_states.append((x, cur_scale, cur_fold, dict(saved)))
         # label every op of this stage in traces/HLO (profiling.py)
         with jax.named_scope(
                 f"stage{si}_{st.kind}_L{st.conv_li}"
                 + (f"_fold{st.fold}" if st.fold > 1 else "")):
             x, cur_scale, cur_fold = _run_stage(
-                layers, st, pp, x, cur_scale, cur_fold, act_scales, saved)
+                layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
+                pair=pair, axis_name=axis_name)
         out_li = st.pool_li if st.pool_li is not None else st.conv_li
         if out_li in refs:
             t = depth_to_space(x, cur_fold) if cur_fold > 1 else x
@@ -278,6 +295,43 @@ def plan_forward_w8a8(model, stages: Sequence[Stage],
     return _to_f32(x, cur_scale)
 
 
+def stage_flops(model, stages: Sequence[Stage],
+                input_size: Optional[int] = None):
+    """Per-stage (useful_macs, executed_macs) per image.
+
+    ``useful``: the original layer's MAC count — the work a perfect
+    implementation must do. ``executed``: MACs the MXU actually performs
+    under the stage's formulation (space-to-depth folds trade extra MACs
+    for dense tiling: k=3 fold-f executes f^2x the useful MACs, the
+    shifted k=2 formulation 4f^2/9x, the v2 stem kernel 3 GEMMs of
+    K=128 per 27-MAC output). Non-conv stages are bandwidth-bound: 0.
+    """
+    from dnn_inference_engine_tpu.parallel.sharding import _conv_flops
+    per_layer = _conv_flops(model, input_size)  # useful MACs per conv layer
+    out = []
+    for st in stages:
+        if st.kind in ("pool", "route", "shortcut", "upsample", "gap"):
+            out.append((0.0, 0.0))
+            continue
+        if st.kind == "dense":
+            lay = model.layers[st.conv_li]
+            chans = model.out_channels()
+            cin = chans[st.conv_li - 1] if st.conv_li else model.in_ch
+            out.append((float(cin * lay.out),) * 2)
+            continue
+        useful = float(per_layer[st.conv_li])
+        if st.kind == "s0":
+            factor = 3 * 128 / 27.0     # 3 K=128 GEMMs per 27-MAC output
+        elif st.fold > 1 and st.k == 2:
+            factor = 4.0 * st.fold ** 2 / 9.0
+        elif st.fold > 1:
+            factor = float(st.fold ** 2)
+        else:
+            factor = 1.0
+        out.append((useful, useful * factor))
+    return out
+
+
 def _to_f32(t, s):
     return t if s is None else dequantize(t, s)
 
@@ -286,7 +340,8 @@ def _defold(x, cur_fold):
     return (depth_to_space(x, cur_fold), 1) if cur_fold > 1 else (x, 1)
 
 
-def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
+def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
+               pair=None, axis_name="model"):
     """One plan stage; returns (x, cur_scale, cur_fold)."""
     li = st.conv_li
     s_next = jnp.float32(act_scales[li + 1])
@@ -361,10 +416,21 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved):
     s_out = None if st.s_out_is_final else s_next
 
     if st.kind in ("xla", "gemm", "auto"):
-        fn = {"xla": conv2d_w8a8, "gemm": conv2d_w8a8_pallas,
-              "auto": conv2d_w8a8_dispatch}[st.kind]
-        x = fn(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
-               act=st.act, stride=st.stride, padding=st.padding, s_out=s_out)
+        if pair is not None and li == pair[1]:
+            # row-parallel under shard_map: int32 psum before the epilogue
+            assert st.fold == 1 and cur_fold == 1, (st, cur_fold)
+            from dnn_inference_engine_tpu.parallel.shard_map_forward import (
+                row_parallel_conv_w8a8)
+            x = row_parallel_conv_w8a8(
+                x, pp, st, cur_scale, s_out, axis_name,
+                use_pallas_tier=st.kind in ("gemm", "auto"),
+                force_pallas=st.kind == "gemm")
+        else:
+            fn = {"xla": conv2d_w8a8, "gemm": conv2d_w8a8_pallas,
+                  "auto": conv2d_w8a8_dispatch}[st.kind]
+            x = fn(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
+                   act=st.act, stride=st.stride, padding=st.padding,
+                   s_out=s_out)
     elif st.kind in ("fold_xla", "rs"):
         assert s_out is not None
         f = st.fold

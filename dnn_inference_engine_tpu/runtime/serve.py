@@ -142,25 +142,70 @@ class ContinuousBatcher:
             }
 
     def serve_http(self, port: int = 8000):
-        """Minimal /stats endpoint (health check + metrics)."""
-        from http.server import BaseHTTPRequestHandler, HTTPServer
+        """HTTP ingestion + observability surface:
+
+        - ``POST /detect``: request body = encoded image (JPEG/PNG/BMP —
+          anything PIL decodes) or a raw ``.npy`` array (H,W,3 uint8).
+          Blocks through the batcher and returns detections as JSON in
+          ORIGINAL image coordinates.
+        - ``GET /stats``: per-batch serving metrics (images/s, queue
+          depth, p50/p99 latency).
+        - ``GET /healthz``: liveness.
+        """
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
         batcher = self
+
+        def _decode_image(data: bytes):
+            if data[:6] == b"\x93NUMPY":
+                import io
+                arr = np.load(io.BytesIO(data), allow_pickle=False)
+                return np.asarray(arr)
+            import io
+            from PIL import Image
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
         class H(BaseHTTPRequestHandler):
             def do_GET(self):
                 if self.path not in ("/stats", "/healthz"):
                     self.send_response(404); self.end_headers(); return
-                body = json.dumps(
-                    batcher.stats() if self.path == "/stats"
-                    else {"ok": True}).encode()
-                self.send_response(200)
+                self._reply(200, batcher.stats() if self.path == "/stats"
+                            else {"ok": True})
+
+            def do_POST(self):
+                if self.path != "/detect":
+                    self.send_response(404); self.end_headers(); return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    img = _decode_image(self.rfile.read(n))
+                    from dnn_inference_engine_tpu.config import VOC_CLASSES
+                    from dnn_inference_engine_tpu.preprocess import (
+                        boxes_to_original, preprocess_image)
+                    x, meta = preprocess_image(
+                        img, batcher.engine.config.input_size)
+                    boxes, scores, classes = batcher.infer(x)
+                    keep = scores > 0
+                    orig = boxes_to_original(boxes[keep], meta)
+                    self._reply(200, {
+                        "boxes": orig.tolist(),
+                        "scores": scores[keep].tolist(),
+                        "classes": classes[keep].tolist(),
+                        "names": [VOC_CLASSES[c] if c < len(VOC_CLASSES)
+                                  else str(c) for c in classes[keep]],
+                    })
+                except Exception as e:            # bad image, engine error
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+            def _reply(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
             def log_message(self, *a):
                 pass
 
-        srv = HTTPServer(("0.0.0.0", port), H)
+        srv = ThreadingHTTPServer(("0.0.0.0", port), H)
         threading.Thread(target=srv.serve_forever, daemon=True).start()
         return srv

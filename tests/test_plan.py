@@ -144,3 +144,41 @@ def test_s0_strategy_kind(rng):
     assert np.mean(np.isclose(got, ref, rtol=1e-3, atol=1e-3)) > 0.99
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_stage_flops_accounting():
+    """stage_flops: useful MACs match the YOLOv2-tiny totals (SURVEY.md
+    2.5: ~3.49 GMACs/img) and fold inflation factors are applied."""
+    import jax
+    from dnn_inference_engine_tpu.models import yolov2_tiny
+    from dnn_inference_engine_tpu.runtime.plan import build_plan, stage_flops
+    model = yolov2_tiny()
+    stages = build_plan(model)
+    fl = stage_flops(model, stages)
+    useful = sum(u for u, _ in fl)
+    assert abs(useful - 3.49e9) / 3.49e9 < 0.02, useful
+    by_li = {st.conv_li: (st, f) for st, f in zip(stages, fl)}
+    st0, (u0, e0) = by_li[0]
+    assert st0.fold == 4 and e0 == u0 * 16          # k3 fold-4: 16x MACs
+    _, (u13, e13) = by_li[13]
+    assert e13 == u13                                # unfolded: 1x
+
+
+def test_engine_stage_times_smoke():
+    """stage_times returns one entry per executed stage with roofline %
+    fields (SURVEY.md N4 artifact)."""
+    import jax
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=2,
+                              input_size=64)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    rep = eng.stage_times(batch=2, iters=(4, 2))
+    assert len(rep) == len(eng._plan)
+    for r in rep:
+        assert {"name", "ms", "gop", "gop_exec", "mfu_pct",
+                "hw_util_pct"} <= set(r)
+        assert r["ms"] >= 0
+        assert r["gop_exec"] >= r["gop"] >= 0
+    # conv stages carry the work; at 64x64 conv1 useful = 64*64*9*3*16
+    assert abs(rep[0]["gop"] - 2 * 64 * 64 * 9 * 3 * 16 * 2 / 1e9) < 1e-3
