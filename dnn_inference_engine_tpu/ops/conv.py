@@ -69,6 +69,30 @@ def conv2d_w8(
     return apply_activation(y, act)
 
 
+def conv2d_w8_bf16(
+    x: jnp.ndarray,          # (N,H,W,Cin) f32 activations
+    wq: jnp.ndarray,         # (kh,kw,Cin,Cout) int8
+    s_w: jnp.ndarray,        # (Cout,) f32 per-output-channel scales
+    b: jnp.ndarray,          # (Cout,) f32
+    act: str = "leaky",
+    stride: int = 1,
+    padding="SAME",
+) -> jnp.ndarray:
+    """Weight-only conv on the MXU's bf16 path (the fast w8 tier).
+
+    int8 codes are EXACT in bf16 (|code| <= 127 needs 7 mantissa bits);
+    activations round to bf16 (<= 2^-8 relative input error — the same
+    order as W8A8's int8 activation quantization, and covered by the
+    same accuracy gates). Accumulation in f32, per-channel dequant on
+    the output. ~2x the f32 conv's MXU rate on v5e; the epilogue stays
+    f32 like every other tier.
+    """
+    acc = _conv(x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16), stride,
+                padding, preferred_element_type=jnp.float32)
+    y = acc * s_w + b
+    return apply_activation(y, act)
+
+
 def conv2d_w8a8(
     xq: jnp.ndarray,         # (N,H,W,Cin) int8 quantized activations
     s_in: jnp.ndarray,       # scalar f32 input activation scale

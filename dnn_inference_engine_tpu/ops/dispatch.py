@@ -50,11 +50,16 @@ def conv2d_w8a8_dispatch(xq, s_in, wq, s_w, b, act="leaky", stride=1,
 
 def conv2d_w8_dispatch(x, wq, s_w, b, act="leaky", stride=1, padding="SAME",
                        force_pallas=False):
-    if force_pallas or use_pallas(x.shape, wq.shape, stride):
+    if force_pallas:
         return conv_pl.conv2d_w8_pallas(x, wq, s_w, b, act=act, stride=stride,
                                         padding=padding)
-    return conv_xla.conv2d_w8(x, wq, s_w, b, act=act, stride=stride,
-                              padding=padding)
+    # auto tier for w8: the bf16 MXU path everywhere (int8 codes are
+    # exact in bf16, activations round to bf16 — see conv2d_w8_bf16;
+    # XLA's native conv beats the im2col+GEMM tier in-graph at every
+    # yolov2 shape, measured round 2). The strict f32 path stays
+    # available as kernel='xla'.
+    return conv_xla.conv2d_w8_bf16(x, wq, s_w, b, act=act, stride=stride,
+                                   padding=padding)
 
 
 def conv2d_fp32_dispatch(x, w, b, act="leaky", stride=1, padding="SAME",

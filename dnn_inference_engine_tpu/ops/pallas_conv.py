@@ -178,7 +178,7 @@ def fold_group_pool_channels(y: jnp.ndarray, f: int, cout: int) -> jnp.ndarray:
     return y.reshape(*lead, fo * fo * cout)
 
 
-def _qs2d_kernel(xb_ref, s_ref, o_ref, *, ht, w4):
+def _qs2d_kernel(xb_ref, s_ref, o_ref, *, ht, w4, c_out):
     # divide by the scale (NOT multiply by a precomputed reciprocal): this
     # matches quantize_act bit-for-bit for every scale, not only scales
     # whose reciprocal is exactly representable
@@ -188,11 +188,17 @@ def _qs2d_kernel(xb_ref, s_ref, o_ref, *, ht, w4):
     # 48-sublane window starting at 48*y of the row-interleaved input:
     # out[y, x, 12p + 3q + c] = raw[4y+p, 4x+q, c] = xt[48y + (12p+3q+c), x]
     for y in range(ht):
-        o_ref[0, y] = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T
+        t = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T
+        if c_out > 48:
+            # lane-pad: zero channels feed zero folded-weight rows (the
+            # conv stage wants 64-aligned Cin; see plan.Stage.cin_pad)
+            t = jnp.pad(t, ((0, 0), (0, c_out - 48)))
+        o_ref[0, y] = t
 
 
-@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+@functools.partial(jax.jit, static_argnames=("ht", "pad_to", "interpret"))
 def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
+                          pad_to: int = 0,
                           interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused quantize + space_to_depth(4): (N,H,W,3) f32 -> (N,H/4,W/4,48)
     int8, one HBM pass after an XLA f32 row-interleave transpose.
@@ -200,18 +206,22 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
     Replaces the XLA chain quantize_act -> space_to_depth whose s8
     layout-assignment copies cost ~0.7 ms/iter at batch 32 on v5e
     (xplane-measured); this path A/B'd at ~0.5x that, bit-exact.
+
+    ``pad_to``: emit this many channels (>48), the extra lanes zero —
+    feeds conv stages that want 64-aligned Cin without a separate pad.
     """
     if interpret is None:
         interpret = _interpret_default()
     n, h, wd, c = x.shape
     assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    c_out = max(pad_to, 48)
     h4, w4 = h // 4, wd // 4
     while h4 % ht:
         ht //= 2
     xt = x.reshape(n, h, w4, 12).transpose(0, 1, 3, 2).reshape(n, h * 12, w4)
     s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
     return pl.pallas_call(
-        functools.partial(_qs2d_kernel, ht=ht, w4=w4),
+        functools.partial(_qs2d_kernel, ht=ht, w4=w4, c_out=c_out),
         grid=(n, h4 // ht),
         in_specs=[
             pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),
@@ -219,9 +229,10 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
             pl.BlockSpec((1, 1), lambda nn, ii: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, ht, w4, 48), lambda nn, ii: (nn, ii, 0, 0),
+        out_specs=pl.BlockSpec((1, ht, w4, c_out),
+                               lambda nn, ii: (nn, ii, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h4, w4, 48), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((n, h4, w4, c_out), jnp.int8),
         interpret=interpret,
     )(xt, s)
 

@@ -29,6 +29,18 @@ def maxpool(x: jnp.ndarray, size: int = 2, stride: int = 2,
         pad = "SAME"
     else:
         pad = ((0, 0), (0, 0), (0, 0), (0, 0))
+    if (size == 2 and stride == 2 and x.ndim == 4 and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0 and x.dtype == jnp.int8
+            and x.shape[3] < 128):
+        # lane-packed fast path for narrow-channel int8 tensors: XLA's
+        # int8 reduce_window relayouts catastrophically at C<128 (574 us
+        # for (32,104,104,64) on v5e vs 135 us for this formulation —
+        # adjacent W pairs packed into lanes, then two elementwise
+        # maxes). Exact: same 4 elements per output.
+        n, h, w, c = x.shape
+        xp = x.reshape(n, h, w // 2, 2 * c)
+        m = jnp.maximum(xp[:, ::2], xp[:, 1::2])
+        return jnp.maximum(m[..., :c], m[..., c:])
     if jnp.issubdtype(x.dtype, jnp.floating):
         init = -jnp.inf
     else:

@@ -107,9 +107,17 @@ def _make_local_forward(engine, pair: Optional[Tuple[int, int]]):
     model, cfg = engine.model, engine.config
 
     if engine._plan is not None:
-        from dnn_inference_engine_tpu.runtime.plan import plan_forward_w8a8
+        from dnn_inference_engine_tpu.runtime.plan import (
+            plan_forward_w8, plan_forward_w8a8)
         plan = engine._plan
         scales = engine.act_scales
+
+        if cfg.mode == "w8":
+            assert pair is None      # channel sharding is w8a8-only
+
+            def local_fwd(params, x):
+                return plan_forward_w8(model, plan, params, x)
+            return local_fwd
 
         def local_fwd(params, x):
             return plan_forward_w8a8(model, plan, params, scales, x,

@@ -93,10 +93,13 @@ class Engine:
             assert self.fp32_params is not None, "load_weights first"
             self.params = quantize_model_params(self.fp32_params,
                                                 self.model.layers)
-        if mode == "w8a8" and self.config.kernel == "auto":
+        if mode in ("w8a8", "w8") and self.config.kernel == "auto":
             from dnn_inference_engine_tpu.runtime.plan import (
                 build_plan, prepare_plan_params)
             self._plan = build_plan(self.model)
+            if (mode == "w8" and self._plan is not None
+                    and any(st.kind in ("rs", "s0") for st in self._plan)):
+                self._plan = None       # int8-kernel kinds: no w8 variant
             if self._plan is not None:
                 self._plan_params = prepare_plan_params(
                     self.model, self.params, self._plan)
@@ -154,7 +157,10 @@ class Engine:
             # normalizes on device
             x = x.astype(jnp.float32) / 255.0
         if self._plan is not None:
-            from dnn_inference_engine_tpu.runtime.plan import plan_forward_w8a8
+            from dnn_inference_engine_tpu.runtime.plan import (
+                plan_forward_w8, plan_forward_w8a8)
+            if self.config.mode == "w8":
+                return plan_forward_w8(self.model, self._plan, params, x)
             return plan_forward_w8a8(self.model, self._plan, params,
                                      self.act_scales, x)
         return self.model.forward(params, x, mode=self.config.mode,
@@ -259,9 +265,9 @@ class Engine:
             V5E_INT8_TOPS, per_iter_time, roofline_pct)
         from dnn_inference_engine_tpu.runtime.plan import (
             _run_stage, plan_forward_w8a8, stage_flops)
-        assert self._plan is not None, (
-            "stage_times needs the fused plan (mode=w8a8, kernel=auto); "
-            "use layer_times for other configs")
+        assert self._plan is not None and self.config.mode == "w8a8", (
+            "stage_times needs the fused w8a8 plan (mode=w8a8, "
+            "kernel=auto); use layer_times for other configs")
         batch = batch or self.config.batch
         x = jnp.asarray(np.random.default_rng(0).uniform(
             0, 1, (batch, self.config.input_size, self.config.input_size, 3)

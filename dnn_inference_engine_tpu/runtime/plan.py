@@ -62,13 +62,19 @@ class Stage:
     fold: int = 1                 # 1 (unfolded) or fold factor (+ gmax)
     k: int = 3                    # folded kernel size (3 = SAME, 2 = shifted VALID)
     s2d_out: bool = False         # kernel emits s2d(2) fold layout
+    cin_pad: int = 0              # lane-pad folded input channels to this
+                                  # (zero channels x zero weight rows — exact;
+                                  # XLA's int8 conv emitter runs 2x faster at
+                                  # 64-aligned Cin: 305 vs 609 us measured on
+                                  # the conv1-f4 stage, v5e batch 32)
     act: str = "leaky"
     stride: int = 1
     padding: str = "SAME"
     s_out_is_final: bool = False
 
 
-_CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
+_CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
+               "rs": "rs", "rs2": "rs",
                "xla": "xla", "gemm": "gemm", "auto": "auto", "s0": "s0"}
 
 # measured-fastest strategy for YOLOv2-tiny @ batch 32 on v5e.
@@ -83,23 +89,26 @@ _CONV_KINDS = {"fold_xla": "fold_xla", "rs": "rs", "rs2": "rs",
 # Profiling showed XLA s2d/relayout copies previously cost more than all
 # conv kernels combined (~2.2 ms/iter at batch 32).
 _YOLOV2_STRATEGY = {
-    # Re-swept per-layer on v5e (batch 32, same-process min-of-3 A/B)
-    # after the pool-major gmax + fused quant+s2d input kernel landed:
-    # - conv1 fold_xla f4 beat the custom fused stem kernel ("s0" kind,
-    #   ops/pallas_stage0.py) 4.15 vs 4.40 ms whole-net, and the rs tier
-    #   (2.1 ms for the stage alone);
-    # - conv3 via plain XLA conv beat rs-f2 (3.50 vs 3.97 whole-net: the
-    #   s2d relayout the folded kernel needs now costs more than the
-    #   conv saves);
-    # - conv5-conv9 via XLA conv beat the im2col+Pallas-GEMM tier
-    #   in-graph (2.25-2.45 vs 3.43-3.51 ms whole-net): XLA fuses the
-    #   requant chain into its convs and skips the patch-matrix HBM
-    #   round trip. The Pallas GEMM still wins STANDALONE (roofline on
-    #   conv8 shapes vs 84% for XLA dot) — the in-graph loser is the
-    #   extract_patches materialization, not the kernel.
-    0: ("fold_xla", 4),     # conv1 folded f4 (+ fused quant+s2d input)
+    # Round-2 re-sweep driven by Engine.stage_times on v5e (batch 32):
+    # the executed-stage roofline table showed conv1 (1.04 ms, 18.7% HW
+    # util), conv3 (0.28 ms, 11.5%) and the following (104,104,64) pool
+    # (0.58 ms!) carrying most of the 2.65 ms total while conv5-conv8
+    # already ran at 76-95% MFU. Measured fixes:
+    # - conv1 f4 with folded Cin lane-padded 48->64: XLA's int8 conv
+    #   emitter is 2x faster at 64-aligned Cin (305 vs 609 us);
+    # - conv3 folded f2 (52,52,128)->256 + gmax: 164 us REPLACES
+    #   conv3-xla (281 us) + the pathological reduce_window pool
+    #   (574 us; XLA relayouts at C=64/W=104) — the s2d(2) relayout
+    #   between conv2 and conv3 measures <1 us;
+    # - conv5-conv9 stay XLA: 76-95% MFU in-graph (the native conv
+    #   emitter beats both the im2col+GEMM tier and the batched
+    #   shift-GEMM tail kernel standalone at these shapes).
+    # - conv1 f4 via the k2 SHIFTED fold (fold_conv3x3_k2_weights:
+    #   4f^2/9 of the k3 MACs) + cin_pad 64: whole-net 2.09 ms vs 2.62
+    #   (k3-pad64) vs 2.77 (k2 unpadded) — same-process min A/B.
+    0: ("fold_xla_k2", 4, {"cin_pad": 64}),
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
-    4: ("xla", 1),
+    4: ("fold_xla", 2),     # conv3 folded f2 (absorbs the slow pool)
     6: ("xla", 1),
     8: ("xla", 1),
     10: ("xla", 1),
@@ -185,8 +194,9 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             stages.append(Stage(
                 kind=_CONV_KINDS[kind],
                 conv_li=li, pool_li=pool_li, fold=fold,
-                k=2 if kind == "rs2" else 3,
-                s2d_out=opts.get("s2d_out", False), act=layer.act,
+                k=2 if kind in ("rs2", "fold_xla_k2") else 3,
+                s2d_out=opts.get("s2d_out", False),
+                cin_pad=opts.get("cin_pad", 0), act=layer.act,
                 stride=layer.stride, padding=layer.padding,
                 s_out_is_final=(layer.act == "linear")))
             li = (pool_li + 1) if pool_li is not None else li + 1
@@ -240,6 +250,13 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
             # a 5D reshape (XLA lowered that reshape to two relayout
             # copies costing ~590us/iter at batch 32 — xplane-measured)
             wf = folder(np.asarray(p["wq"]), f, pool_major=True)
+            if st.cin_pad and wf.shape[2] < st.cin_pad:
+                # zero Cin rows match the lane-padded input's zero
+                # channels — exact (see Stage.cin_pad)
+                wf = np.concatenate(
+                    [wf, np.zeros(wf.shape[:2]
+                                  + (st.cin_pad - wf.shape[2], wf.shape[3]),
+                                  wf.dtype)], axis=2)
             out.append({"wq": jnp.asarray(wf),
                         "s_w": jnp.tile(jnp.asarray(p["s_w"]), f * f),
                         "b": jnp.tile(jnp.asarray(p["b"]), f * f)})
@@ -332,6 +349,119 @@ def stage_flops(model, stages: Sequence[Stage],
     return out
 
 
+def plan_forward_w8(model, stages: Sequence[Stage],
+                    plan_params: Sequence[Dict], x):
+    """Weight-only (w8) fused plan: bf16 activations x int8 codes on the
+    MXU (codes are exact in bf16), f32 epilogues, and the same
+    space-to-depth fold stages as the w8a8 plan — the early layers'
+    tiny-channel shapes are what make the generic w8 forward slow, and
+    folding fixes exactly that. No activation quantization anywhere, so
+    the scale tracking collapses away; inter-stage tensors are bf16
+    (the rounding a bf16-input conv applies anyway).
+
+    Supports the XLA-tier stage kinds (fold_xla / fold_xla_k2 / xla /
+    gemm / auto all run the bf16 conv) plus every graph kind; the int8
+    Pallas kinds (rs / s0) have no w8 counterpart — build plans for w8
+    with strategies that avoid them (the defaults do).
+    """
+    layers = model.layers
+    refs = _referenced_layers(model)
+    cur_fold = 1
+    saved: Dict[int, jnp.ndarray] = {}
+    x = x.astype(jnp.bfloat16)
+
+    def conv_bf16(xb, pp, act, stride=1, padding="SAME", valid_k2=False):
+        y = jax.lax.conv_general_dilated(
+            xb, pp["wq"].astype(jnp.bfloat16), (stride, stride),
+            "VALID" if valid_k2 else padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y * pp["s_w"] + pp["b"]
+        return apply_activation(y, act)
+
+    def gmax_bf16(y, f, cout):
+        go = (f // 2) ** 2 * cout
+        y = y.astype(jnp.bfloat16)
+        return jnp.maximum(
+            jnp.maximum(y[..., :go], y[..., go:2 * go]),
+            jnp.maximum(y[..., 2 * go:3 * go], y[..., 3 * go:]))
+
+    for si, st in enumerate(stages):
+        pp = plan_params[si]
+        li = st.conv_li
+        with jax.named_scope(f"w8stage{si}_{st.kind}_L{li}"):
+            if st.kind == "pool":
+                x, cur_fold = _defold(x, cur_fold)
+                lay = layers[li]
+                x = maxpool(x, lay.size, lay.stride, lay.padding)
+            elif st.kind == "route":
+                pieces = [saved[j] for j in layers[li].layers]
+                x = jnp.concatenate(pieces, axis=-1)
+            elif st.kind == "shortcut":
+                x, cur_fold = _defold(x, cur_fold)
+                x = (x.astype(jnp.float32)
+                     + saved[layers[li].frm].astype(jnp.float32))
+                x = apply_activation(x, st.act).astype(jnp.bfloat16)
+            elif st.kind == "upsample":
+                x, cur_fold = _defold(x, cur_fold)
+                s = layers[li].stride
+                x = jnp.repeat(jnp.repeat(x, s, axis=1), s, axis=2)
+            elif st.kind == "gap":
+                x, cur_fold = _defold(x, cur_fold)
+                x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+            elif st.kind == "dense":
+                w = pp["wq"].astype(jnp.float32) * pp["s_w"]
+                x = apply_activation(
+                    x.astype(jnp.float32) @ w + pp["b"], st.act)
+            elif st.kind == "fold_xla_k2":
+                f = st.fold
+                assert cur_fold == 1, cur_fold
+                x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
+                                (0, 0)))
+                x = space_to_depth(x, f)
+                if st.cin_pad and x.shape[-1] < st.cin_pad:
+                    x = jnp.pad(x, ((0, 0),) * 3
+                                + ((0, st.cin_pad - x.shape[-1]),))
+                ho, wo = x.shape[1] - 2, x.shape[2] - 2
+                y = conv_bf16(x, pp, st.act, valid_k2=True)[:, :ho, :wo]
+                cout = pp["s_w"].shape[0] // (f * f)
+                x = gmax_bf16(y, f, cout)
+                cur_fold = f // 2
+            elif st.kind == "fold_xla":
+                f = st.fold
+                if cur_fold != f:
+                    if cur_fold > 1:
+                        x = depth_to_space(x, cur_fold)
+                    x = space_to_depth(x, f)
+                    cur_fold = f
+                if st.cin_pad and x.shape[-1] < st.cin_pad:
+                    x = jnp.pad(x, ((0, 0),) * 3
+                                + ((0, st.cin_pad - x.shape[-1]),))
+                y = conv_bf16(x, pp, st.act)
+                cout = pp["s_w"].shape[0] // (f * f)
+                x = gmax_bf16(y, f, cout)
+                cur_fold = f // 2
+            elif st.kind in ("xla", "gemm", "auto"):
+                x, cur_fold = _defold(x, cur_fold)
+                y = conv_bf16(x, pp, st.act, stride=st.stride,
+                              padding=st.padding)
+                x = y if st.s_out_is_final else y.astype(jnp.bfloat16)
+            else:
+                raise ValueError(
+                    f"stage kind {st.kind!r} has no w8 implementation; "
+                    "use a strategy without rs/s0 kinds for w8 plans")
+        out_li = st.pool_li if st.pool_li is not None else st.conv_li
+        if out_li in refs:
+            t = depth_to_space(x, cur_fold) if cur_fold > 1 else x
+            saved[out_li] = t
+    if model.out_layers is not None:
+        return tuple(saved[j].astype(jnp.float32)
+                     for j in model.out_layers)
+    if cur_fold > 1:
+        x = depth_to_space(x, cur_fold)
+    return x.astype(jnp.float32)
+
+
 def _to_f32(t, s):
     return t if s is None else dequantize(t, s)
 
@@ -384,16 +514,63 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         bias = jnp.tile(pp["b"], 4) / s_next
         x = stage0_fused_v2(x, pp["wv"], scale, bias, s_in, act=st.act)
         return x, s_next, 2
+    if st.kind == "fold_xla_k2":
+        # shifted-fold k2 formulation via XLA conv: a 2x2 VALID conv over
+        # the shifted s2d(f) covers the same 3x3 receptive field with
+        # 4f^2/9 of the k3 fold's MACs (fold_conv3x3_k2_weights: 34 vs
+        # 76.5 GOP executed on conv1-f4 @ batch 32). The input is padded
+        # 1 top/left (the SAME halo) and 2f-1 bottom/right (completes
+        # blocks and keeps dims % 8 for the fused quant+s2d kernel); the
+        # conv's trailing junk row/col of blocks is sliced off. Never
+        # chains from a folded producer (shifted layout).
+        f = st.fold
+        assert cur_fold == 1 and not st.s_out_is_final, st
+        s_out = s_next
+        if cur_scale is None:
+            cur_scale = jnp.float32(act_scales[li])
+            if (f == 4 and x.shape[-1] == 3 and (x.shape[1] + 2 * f) % 8 == 0
+                    and (x.shape[2] + 2 * f) % 8 == 0):
+                from dnn_inference_engine_tpu.ops.pallas_conv import (
+                    quant_space_to_depth4)
+                x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
+                                (0, 0)))
+                x = quant_space_to_depth4(x, cur_scale, pad_to=st.cin_pad)
+            else:
+                x = quantize_act(x, cur_scale)
+                x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
+                                (0, 0)))
+                x = space_to_depth(x, f)
+        else:
+            x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1), (0, 0)))
+            x = space_to_depth(x, f)
+        if st.cin_pad and x.shape[-1] < st.cin_pad:
+            x = jnp.pad(x, ((0, 0),) * 3 + ((0, st.cin_pad - x.shape[-1]),))
+        ho, wo = x.shape[1] - 2, x.shape[2] - 2
+        y = jax.lax.conv_general_dilated(
+            x, pp["wq"], (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)[:, :ho, :wo]
+        y = y.astype(jnp.float32) * (cur_scale * pp["s_w"]) + pp["b"]
+        y = jnp.where(y > 0, y, 0.1 * y) if st.act == "leaky" else y
+        y = quantize_act(y, s_out)
+        cout = pp["s_w"].shape[0] // (f * f)
+        go = (f // 2) ** 2 * cout
+        x = jnp.maximum(
+            jnp.maximum(y[..., :go], y[..., go:2 * go]),
+            jnp.maximum(y[..., 2 * go:3 * go], y[..., 3 * go:]))
+        return x, s_out, f // 2
+
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
         if (st.fold == 4 and st.k == 3 and cur_fold == 1
                 and x.shape[-1] == 3 and x.shape[1] % 8 == 0
                 and x.shape[2] % 8 == 0):
             # fused quantize+s2d(4) kernel: skips the XLA s8 relayout
-            # copies (~0.7 ms/iter at batch 32; see pallas_conv.py)
+            # copies (~0.7 ms/iter at batch 32; see pallas_conv.py);
+            # emits cin_pad lanes directly when the stage wants them
             from dnn_inference_engine_tpu.ops.pallas_conv import (
                 quant_space_to_depth4)
-            x = quant_space_to_depth4(x, cur_scale)
+            x = quant_space_to_depth4(x, cur_scale, pad_to=st.cin_pad)
             cur_fold = 4
         else:
             x = quantize_act(x, cur_scale)
@@ -412,6 +589,9 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
             if need_fold > 1:
                 x = space_to_depth(x, need_fold)
             cur_fold = need_fold
+    if st.fold > 1 and st.cin_pad and x.shape[-1] < st.cin_pad:
+        # lane-pad the folded input (zero channels, zero weight rows)
+        x = jnp.pad(x, ((0, 0),) * 3 + ((0, st.cin_pad - x.shape[-1]),))
     # requant target: the calibrated scale of this conv's output
     s_out = None if st.s_out_is_final else s_next
 

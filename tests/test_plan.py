@@ -27,10 +27,12 @@ def test_plan_builds_for_yolov2():
     assert plan is not None
     convs = [s for s in plan if s.kind != "pool"]
     assert len(convs) == 9
-    # conv1/conv2 folded (absorbing their pools); the rest measured-xla
+    # conv1-conv3 folded (absorbing their pools); the rest measured-xla
     assert convs[0].fold == 4 and convs[0].pool_li == 1
+    assert convs[0].cin_pad == 64
     assert convs[1].fold == 2
-    assert convs[2].kind == "xla"
+    assert convs[2].kind == "fold_xla" and convs[2].fold == 2
+    assert convs[3].kind == "xla"
     assert convs[-1].s_out_is_final
 
 
@@ -159,7 +161,9 @@ def test_stage_flops_accounting():
     assert abs(useful - 3.49e9) / 3.49e9 < 0.02, useful
     by_li = {st.conv_li: (st, f) for st, f in zip(stages, fl)}
     st0, (u0, e0) = by_li[0]
-    assert st0.fold == 4 and e0 == u0 * 16          # k3 fold-4: 16x MACs
+    assert st0.fold == 4
+    factor = 16.0 if st0.k == 3 else 4 * 16 / 9.0   # k3 vs shifted-k2 fold
+    assert abs(e0 - u0 * factor) < 1e-6
     _, (u13, e13) = by_li[13]
     assert e13 == u13                                # unfolded: 1x
 
