@@ -182,7 +182,16 @@ def _qs2d_kernel(xb_ref, s_ref, o_ref, *, ht, w4, c_out):
     # divide by the scale (NOT multiply by a precomputed reciprocal): this
     # matches quantize_act bit-for-bit for every scale, not only scales
     # whose reciprocal is exactly representable
-    xq = jnp.clip(jnp.round(xb_ref[0] / s_ref[0, 0]),
+    xv = xb_ref[0]
+    if xv.dtype == jnp.uint8:
+        # serving wire format: normalize in-kernel exactly like the host
+        # path (u.astype(f32) / 255.0, then quantize) — 4x less HBM
+        # traffic than shipping f32. Mosaic has no direct u8->f32 cast:
+        # bitcast to i8 and undo the wrap (exact for all 256 values).
+        iv = xv.view(jnp.int8).astype(jnp.int32)
+        iv = jnp.where(iv < 0, iv + 256, iv)
+        xv = iv.astype(jnp.float32) / 255.0
+    xq = jnp.clip(jnp.round(xv / s_ref[0, 0]),
                   -QMAX, QMAX).astype(jnp.int8)
     # each output row y is exactly the transpose of the contiguous
     # 48-sublane window starting at 48*y of the row-interleaved input:
@@ -214,6 +223,7 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
         interpret = _interpret_default()
     n, h, wd, c = x.shape
     assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    assert x.dtype in (jnp.float32, jnp.uint8), x.dtype
     c_out = max(pad_to, 48)
     h4, w4 = h // 4, wd // 4
     while h4 % ht:

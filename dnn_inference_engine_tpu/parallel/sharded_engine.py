@@ -102,6 +102,13 @@ def _head_out_specs(model):
     return _out_rank_spec(model, len(model.layers) - 1)
 
 
+def _plan_takes_uint8(engine) -> bool:
+    if engine._plan is None or engine.config.mode != "w8a8":
+        return False
+    from dnn_inference_engine_tpu.runtime.plan import plan_input_uint8_ok
+    return plan_input_uint8_ok(engine._plan)
+
+
 def _make_local_forward(engine, pair: Optional[Tuple[int, int]]):
     """The per-shard forward matching the engine's mode/plan config."""
     model, cfg = engine.model, engine.config
@@ -175,9 +182,10 @@ def make_sharded_detect_fn(engine, mesh: Mesh):
     cfg = engine.config
     pair = _validated_pair(engine, mesh)
     local_fwd = _make_local_forward(engine, pair)
+    u8_through = _plan_takes_uint8(engine)
 
     def local_run(params, x):
-        if x.dtype == jnp.uint8:
+        if x.dtype == jnp.uint8 and not u8_through:
             x = x.astype(jnp.float32) / 255.0
         heads = local_fwd(params, x)
         boxes, scores = engine._decode(heads)
@@ -202,9 +210,10 @@ def make_sharded_forward_fn(engine, mesh: Mesh):
     pair = _validated_pair(engine, mesh)
     local_fwd = _make_local_forward(engine, pair)
     out_specs = _head_out_specs(engine.model)
+    u8_through = _plan_takes_uint8(engine)
 
     def local_run(params, x):
-        if x.dtype == jnp.uint8:
+        if x.dtype == jnp.uint8 and not u8_through:
             x = x.astype(jnp.float32) / 255.0
         return local_fwd(params, x)
 

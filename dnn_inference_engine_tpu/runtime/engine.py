@@ -153,9 +153,15 @@ class Engine:
     def _fwd(self, params, x):
         if x.dtype == jnp.uint8:
             # serving path ships uint8 over the host->device link (4x less
-            # transfer than f32 — dominant in relay/tunnel deployments) and
-            # normalizes on device
-            x = x.astype(jnp.float32) / 255.0
+            # transfer than f32 — dominant in relay/tunnel deployments).
+            # The fused w8a8 plan's input stage normalizes IN-KERNEL (no
+            # f32 materialization of the batch at all); other paths
+            # normalize on device here.
+            from dnn_inference_engine_tpu.runtime.plan import (
+                plan_input_uint8_ok)
+            if not (self._plan is not None and self.config.mode == "w8a8"
+                    and plan_input_uint8_ok(self._plan)):
+                x = x.astype(jnp.float32) / 255.0
         if self._plan is not None:
             from dnn_inference_engine_tpu.runtime.plan import (
                 plan_forward_w8, plan_forward_w8a8)

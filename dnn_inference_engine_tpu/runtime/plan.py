@@ -121,9 +121,10 @@ _YOLOV2_STRATEGY = {
 # so they inherit its measured choices; the graph tail (routes/upsample,
 # 1x1 mixes) uses the dispatch thresholds (gemm on MXU-shaped layers).
 _YOLOV3_STRATEGY = {
-    0: ("fold_xla", 4),
+    0: ("fold_xla_k2", 4, {"cin_pad": 64}),   # same shapes as yolov2 conv1
     2: ("fold_xla", 2),
-    4: ("xla", 1),
+    4: ("fold_xla", 2),                       # absorbs the C=64 pool
+
     6: ("xla", 1),
     8: ("xla", 1),
     10: ("xla", 1),
@@ -349,6 +350,15 @@ def stage_flops(model, stages: Sequence[Stage],
     return out
 
 
+def plan_input_uint8_ok(stages: Sequence[Stage]) -> bool:
+    """True when the plan's entry stage consumes the uint8 serving wire
+    format directly (the fused quant+s2d input kernel normalizes
+    in-kernel) — the engine then skips the separate /255 normalize and
+    the f32 materialization of the input batch."""
+    st = stages[0]
+    return st.kind in ("fold_xla", "fold_xla_k2") and st.fold == 4
+
+
 def plan_forward_w8(model, stages: Sequence[Stage],
                     plan_params: Sequence[Dict], x):
     """Weight-only (w8) fused plan: bf16 activations x int8 codes on the
@@ -368,6 +378,8 @@ def plan_forward_w8(model, stages: Sequence[Stage],
     refs = _referenced_layers(model)
     cur_fold = 1
     saved: Dict[int, jnp.ndarray] = {}
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     x = x.astype(jnp.bfloat16)
 
     def conv_bf16(xb, pp, act, stride=1, padding="SAME", valid_k2=False):
@@ -528,10 +540,16 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         s_out = s_next
         if cur_scale is None:
             cur_scale = jnp.float32(act_scales[li])
-            if (f == 4 and x.shape[-1] == 3 and (x.shape[1] + 2 * f) % 8 == 0
-                    and (x.shape[2] + 2 * f) % 8 == 0):
+            fused_ok = (f == 4 and x.shape[-1] == 3
+                        and (x.shape[1] + 2 * f) % 8 == 0
+                        and (x.shape[2] + 2 * f) % 8 == 0)
+            if x.dtype == jnp.uint8 and not fused_ok:
+                x = x.astype(jnp.float32) / 255.0
+            if fused_ok:
                 from dnn_inference_engine_tpu.ops.pallas_conv import (
                     quant_space_to_depth4)
+                # works on the uint8 wire format directly (normalize
+                # in-kernel) — zero-pad is exact in both dtypes
                 x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
                                 (0, 0)))
                 x = quant_space_to_depth4(x, cur_scale, pad_to=st.cin_pad)
@@ -562,12 +580,16 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
 
     if cur_scale is None:
         cur_scale = jnp.float32(act_scales[li])
-        if (st.fold == 4 and st.k == 3 and cur_fold == 1
-                and x.shape[-1] == 3 and x.shape[1] % 8 == 0
-                and x.shape[2] % 8 == 0):
+        fused_ok = (st.fold == 4 and st.k == 3 and cur_fold == 1
+                    and x.shape[-1] == 3 and x.shape[1] % 8 == 0
+                    and x.shape[2] % 8 == 0)
+        if x.dtype == jnp.uint8 and not fused_ok:
+            x = x.astype(jnp.float32) / 255.0
+        if fused_ok:
             # fused quantize+s2d(4) kernel: skips the XLA s8 relayout
             # copies (~0.7 ms/iter at batch 32; see pallas_conv.py);
-            # emits cin_pad lanes directly when the stage wants them
+            # emits cin_pad lanes directly when the stage wants them,
+            # and consumes the uint8 wire format directly
             from dnn_inference_engine_tpu.ops.pallas_conv import (
                 quant_space_to_depth4)
             x = quant_space_to_depth4(x, cur_scale, pad_to=st.cin_pad)
