@@ -186,3 +186,21 @@ def test_engine_stage_times_smoke():
         assert r["gop_exec"] >= r["gop"] >= 0
     # conv stages carry the work; at 64x64 conv1 useful = 64*64*9*3*16
     assert abs(rep[0]["gop"] - 2 * 64 * 64 * 9 * 3 * 16 * 2 / 1e9) < 1e-3
+
+
+def test_uint8_wire_format_matches_f32(rng):
+    """detect(uint8 image) must equal detect(u8/255.0 as f32) exactly:
+    the fused stem normalizes in-kernel (plan_input_uint8_ok path)."""
+    import jax
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=2,
+                              input_size=64)
+                 ).load_weights(key=jax.random.PRNGKey(0)).prepare()
+    from dnn_inference_engine_tpu.runtime.plan import plan_input_uint8_ok
+    assert plan_input_uint8_ok(eng._plan)
+    h1 = np.asarray(eng.forward_fn()(eng.exec_params, jnp.asarray(u8)))
+    h2 = np.asarray(eng.forward_fn()(eng.exec_params, jnp.asarray(f32)))
+    np.testing.assert_array_equal(h1, h2)
