@@ -1,10 +1,18 @@
-"""Fused stage-0 kernel (ops/pallas_stage0.py): bit-exact vs the plain-op
-reference chain quantize -> conv1 -> epilogue -> requant -> pool -> s2d(2).
+"""Fused stage-0 kernel (ops/pallas_stage0.py) vs the plain-op reference
+chain quantize -> conv1 -> epilogue -> requant -> pool -> s2d(2).
 
 The kernel is experimental (not yet wired into plans: slower than the
 XLA fold chain on v5e until Mosaic grows a fast strided-sublane gather —
 see the module docstring); correctness is locked here so it stays
-integrable."""
+integrable.
+
+Tolerance note: the kernels fold the requant into one scale
+(acc * (s_in*s_w/s_out) + b/s_out) while the plain chain requantizes in
+two steps (round((acc*s_in*s_w + b after leaky) / s_out)). The two are
+equal except when a value lands within ~1 ulp of a round-half boundary,
+where they can differ by exactly 1 LSB (a few elements per 692k,
+data-dependent). The int32 accumulation itself is exact; the assertion
+below tolerates the boundary flips and nothing else."""
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +24,14 @@ from dnn_inference_engine_tpu.ops.pallas_conv import space_to_depth
 from dnn_inference_engine_tpu.ops.pool import maxpool
 from dnn_inference_engine_tpu.quant.quantize import (
     quantize_act, quantize_weights_per_channel)
+
+
+def assert_int8_1lsb(got, ref, max_frac=1e-4):
+    """Exact except for rare 1-LSB round-boundary flips (module docstring)."""
+    d = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+    assert d.max() <= 1, f"max diff {d.max()} > 1 LSB"
+    frac = float((d > 0).mean())
+    assert frac <= max_frac, f"{frac:.2e} of elements differ (> {max_frac})"
 
 
 def test_stage0_fused_bit_exact(rng):
@@ -38,7 +54,7 @@ def test_stage0_fused_bit_exact(rng):
     wb, scale, bias = stage0_params(wq, s_w, b, s_in, s_out, ht=4)
     got = stage0_fused(x, wb, scale, bias, s_in, ht=4)
     assert got.shape == (1, 104, 104, 64)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert_int8_1lsb(got, ref)
 
 
 def test_stage0_fused_v2_bit_exact(rng):
@@ -75,4 +91,4 @@ def test_stage0_fused_v2_bit_exact(rng):
     got = stage0_fused_v2(x, jnp.asarray(wv), scale, bias,
                           jnp.float32(s_in))
     assert got.shape == ref.shape == (1, 104, 104, 64)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert_int8_1lsb(got, ref)
