@@ -34,6 +34,12 @@ def bench_model(model, mode, batch, kernel="auto", input_size=None):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 1, (batch, eng.config.input_size,
                                        eng.config.input_size, 3)), jnp.float32)
+    if mode != "fp32":
+        # quantized engines consume the uint8 serving wire format, same
+        # as bench.py and the serve path (4x less host->device transfer;
+        # the fused input stage normalizes in-kernel)
+        x = jnp.asarray(np.clip(np.round(np.asarray(x) * 255), 0, 255),
+                        jnp.uint8)
     fwd = lambda xx: eng._fwd(eng.exec_params, xx)
     t = per_iter_time(fwd, (x,), iters_hi=40, iters_lo=8, reps=4, stat="min")
     return {

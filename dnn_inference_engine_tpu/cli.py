@@ -117,9 +117,12 @@ def cmd_layer_times(args):
               f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s}")
         total = 0.0
         for r in eng.stage_times(batch=args.batch):
+            mfu = ("  <res." if r["mfu_pct"] is None
+                   else f"{r['mfu_pct']:7.2f}")
+            hwu = ("   <res." if r["hw_util_pct"] is None
+                   else f"{r['hw_util_pct']:8.2f}")
             print(f"{r['stage']:5d} {r['name']:18s} {r['ms']:9.4f} "
-                  f"{r['gop']:8.3f} {r['gop_exec']:8.3f} "
-                  f"{r['mfu_pct']:7.2f} {r['hw_util_pct']:8.2f}")
+                  f"{r['gop']:8.3f} {r['gop_exec']:8.3f} {mfu} {hwu}")
             total += r["ms"]
         print(f"# TOTAL stages {total:.4f} ms")
         return
