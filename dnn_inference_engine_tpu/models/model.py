@@ -139,7 +139,11 @@ class Model:
             elif isinstance(layer, GlobalAvgPool):
                 x = jnp.mean(x, axis=(1, 2))
             elif isinstance(layer, Dense):
-                x = apply_activation(x @ p["w"] + p["b"], layer.act)
+                # HIGHEST: golden path must not multiply in bf16 (see
+                # ops/conv.py::conv2d_fp32)
+                y = jnp.dot(x, p["w"],
+                            precision=jax.lax.Precision.HIGHEST)
+                x = apply_activation(y + p["b"], layer.act)
             else:
                 raise TypeError(layer)
             outs.append(x)

@@ -43,8 +43,16 @@ def conv2d_fp32(
     stride: int = 1,
     padding="SAME",
 ) -> jnp.ndarray:
-    """FP32 golden path (reference PR1 model; SURVEY.md section 3.1)."""
-    y = _conv(x, w, stride, padding) + b
+    """FP32 golden path (reference PR1 model; SURVEY.md section 3.1).
+
+    HIGHEST precision: on TPU the MXU's default f32 path multiplies in
+    bf16 (~1e-3 relative error) — unacceptable for the golden-reference
+    role (quantization error it measures is ~1e-2; goldens/calibration
+    must not be polluted by the baseline's own multiply error). HIGHEST
+    selects the exact 6-pass bf16 decomposition.
+    """
+    y = _conv(x, w, stride, padding,
+              precision=jax.lax.Precision.HIGHEST) + b
     return apply_activation(y, act)
 
 
@@ -63,8 +71,14 @@ def conv2d_w8(
     convolve f32 activations against the raw int8 codes (converted on the
     fly — XLA fuses the convert, never materializing f32 weights in HBM)
     and apply ``s_w`` to the output channels.
+
+    HIGHEST precision: this is the accurate f32-activation tier (same
+    contract as conv2d_fp32); the FAST weight-only path is the bf16 tier
+    (conv2d_w8_bf16 / the w8 fold plan), which trades mantissa for 2x MXU
+    throughput explicitly.
     """
-    y = _conv(x, wq.astype(jnp.float32), stride, padding)
+    y = _conv(x, wq.astype(jnp.float32), stride, padding,
+              precision=jax.lax.Precision.HIGHEST)
     y = y * s_w + b
     return apply_activation(y, act)
 

@@ -247,6 +247,165 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
     )(xt, s)
 
 
+def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
+                    o_ref, acat, *, ht, w4, wout, cin, kpad, cout, act, go):
+    """Fused stage-0: quantize (u8/f32) + shifted s2d(4) + 2x2 folded conv
+    + dequant/bias/act/requant + pool-major group-max, one HBM pass.
+
+    xb_ref (1, 48*ht, w4): row-interleaved input block — sublane 48*y+l
+    holds folded row y's packed (p*12+q*3+c) element l (the same layout
+    quant_space_to_depth4 consumes). halo_ref: folded row ht of this
+    block (2x2 VALID conv needs ht+1 input rows per ht output rows).
+    """
+    def quant(xv):
+        if xv.dtype == jnp.uint8:
+            # wire format: normalize in-kernel (see _qs2d_kernel)
+            iv = xv.view(jnp.int8).astype(jnp.int32)
+            iv = jnp.where(iv < 0, iv + 256, iv)
+            xv = iv.astype(jnp.float32) / 255.0
+        return jnp.clip(jnp.round(xv / s_ref[0, 0]),
+                        -QMAX, QMAX).astype(jnp.int8)
+
+    xq = jnp.concatenate([quant(xb_ref[0]), quant(halo_ref[0, 0])], axis=0)
+
+    k = 4 * cin
+    if kpad != k:
+        acat[:, k:] = jnp.zeros((ht * wout, kpad - k), jnp.int8)
+    # one transpose per folded input row; each feeds up to 4 A_cat taps
+    for y in range(ht + 1):
+        t = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T  # (w4,48)
+        if cin > 48:
+            t = jnp.pad(t, ((0, 0), (0, cin - 48)))
+        for dh in (0, 1):
+            yo = y - dh
+            if not 0 <= yo < ht:
+                continue
+            for dw in (0, 1):
+                j = dh * 2 + dw
+                acat[yo * wout:(yo + 1) * wout, j * cin:(j + 1) * cin] = \
+                    jax.lax.slice(t, (dw, 0), (dw + wout, cin))
+
+    acc = jnp.dot(acat[:, :], w_ref[:],
+                  preferred_element_type=jnp.int32)     # (ht*wout, cout)
+    # group-max FIRST, on the int32 accumulator: the epilogue params are
+    # identical across the 4 pool groups (pool-major fold tiles the same
+    # per-channel s_w/bias into each go-slice) and dequant+bias+leaky+
+    # round+clip is monotonic non-decreasing (scale > 0), so max commutes
+    # with the epilogue EXACTLY — and the f32 VPU work drops 4x (the
+    # epilogue over the pre-gmax tensor dominated this kernel: ~0.9 ms
+    # serialized after a ~0.12 ms matmul at batch 32 on v5e).
+    mt = ht * wout
+    acc = jnp.maximum(
+        jnp.maximum(jax.lax.slice(acc, (0, 0), (mt, go)),
+                    jax.lax.slice(acc, (0, go), (mt, 2 * go))),
+        jnp.maximum(jax.lax.slice(acc, (0, 2 * go), (mt, 3 * go)),
+                    jax.lax.slice(acc, (0, 3 * go), (mt, 4 * go))))
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if act == "leaky":
+        y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    y = jnp.clip(jnp.round(y), -QMAX, QMAX)
+    o_ref[:] = y.reshape(ht, wout, go).astype(jnp.int8)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "ht", "interpret"))
+def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
+                  bias: jnp.ndarray, s_in,
+                  act: str = "leaky", ht: int = 0,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Whole stage-0 pipeline in ONE Pallas kernel for a 3x3/s1 conv +
+    2x2/s2 maxpool stem at fold f=4 (YOLOv2/v3-tiny conv1).
+
+    x: (N, H, W, 3) uint8 (serving wire) or f32 in [0,1], H, W % 8 == 0.
+    w: (2, 2, C, 16*Cout1) int8 — fold_conv3x3_k2_weights(w1, 4,
+       pool_major=True), Cin lane-padded to C (48 or 64).
+    scale: (16*Cout1,) f32 = s_in * tile(s_w) / s_out;
+    bias:  (16*Cout1,) f32 = tile(b) / s_out.
+    Returns (N, H/4, W/4, 4*Cout1) int8 — the requantized, pooled output
+    in pool-major fold-2 layout, exactly what the fold_xla_k2 stage emits.
+
+    Vs the fold_xla_k2 XLA chain (pad + quant_space_to_depth4 + int8 conv
+    + f32 epilogue + requant + gmax) this reads the raw input once and
+    writes only the folded pooled output: the folded s8 input (23 MB at
+    batch 32) and the pre-gmax s8 tensor (89 MB) never touch HBM.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    f = 4
+    n, h, wd, c = x.shape
+    assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    assert x.dtype in (jnp.float32, jnp.uint8), x.dtype
+    cin, coutf = int(w.shape[2]), int(w.shape[3])
+    assert w.shape[:2] == (2, 2) and cin >= 48 and coutf % 4 == 0
+    go = coutf // 4
+    hout, wout = h // f, wd // f
+    # shifted-fold halo: 1 top/left (SAME), 2f-1 bottom/right (completes
+    # blocks; the conv's junk output row/col is simply never emitted)
+    xp = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1), (0, 0)))
+    hp, w4 = h + 2 * f, (wd + 2 * f) // f
+    # row-interleave so each folded row is a contiguous 48-sublane window
+    xt = xp.reshape(n, hp, w4, 12).transpose(0, 1, 3, 2).reshape(
+        n, hp * 12, w4)
+
+    if not ht:
+        for cand in (13, 8, 4, 2, 1):
+            if hout % cand == 0 and cand * wout * (4 * cin + 8 * coutf) \
+                    < 8_000_000:
+                ht = cand
+                break
+    assert hout % ht == 0, (hout, ht)
+    nb = hout // ht
+    xblk = xt[:, :48 * hout]
+    halo = jnp.stack([xt[:, 48 * ht * (i + 1):48 * ht * (i + 1) + 48]
+                      for i in range(nb)], axis=1)   # (N, nb, 48, w4)
+
+    k = 4 * cin
+    kpad = _round_up(k, 128)
+    wmat = jnp.asarray(w).reshape(k, coutf)
+    if kpad != k:
+        wmat = jnp.pad(wmat, ((0, kpad - k), (0, 0)))
+    # the kernel group-maxes the i32 accumulator before the epilogue, so
+    # it only needs the (identical) params of the first pool group
+    scale2 = scale.astype(jnp.float32)[:go].reshape(1, go)
+    bias2 = bias.astype(jnp.float32)[:go].reshape(1, go)
+    s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
+
+    return pl.pallas_call(
+        functools.partial(_stem_k2_kernel, ht=ht, w4=w4, wout=wout,
+                          cin=cin, kpad=kpad, cout=coutf, act=act, go=go),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 48, w4), lambda nn, ii: (nn, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kpad, coutf), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, go), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, go), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, wout, go),
+                               lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hout, wout, go), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((ht * wout, kpad), jnp.int8),    # A_cat
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hout * wout * kpad * coutf,
+            bytes_accessed=int(xblk.size + halo.size + wmat.size
+                               + n * hout * wout * go),
+            transcendentals=0),
+        interpret=interpret,
+    )(xblk, halo, wmat, scale2, bias2, s)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -254,13 +413,14 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
 def _parity_extract(y3, ht, w32, u, v, cdim):
     """(Ht, W32, C) -> rows of parity u, cols of parity v: (Ht/2, W32/2, C).
 
-    Mosaic-safe: leading-dim split for the row parity, then a 2D stride-2
-    lane... sublane slice on the flattened (Ht/2*W32, C) view for the col
-    parity (3D strided slices lower to >2D gathers, which Mosaic rejects).
+    Mosaic-safe: leading-dim splits + static index for BOTH parities.
+    (Stride-2 slices are rejected by Mosaic's vector.extract_strided_slice
+    verifier — strides must be 1 — and 3D strided slices lower to >2D
+    gathers; the flatten-reshape-index form lowers cleanly, TPU-verified.)
     """
     y4 = y3.reshape(ht // 2, 2, w32, cdim)[:, u]
     y5 = y4.reshape(ht // 2 * w32, cdim)
-    z = jax.lax.slice(y5, (v, 0), (ht // 2 * w32, cdim), (2, 1))
+    z = y5.reshape(ht // 2 * w32 // 2, 2, cdim)[:, v]
     return z.reshape(ht // 2, w32 // 2, cdim)
 
 
@@ -288,7 +448,26 @@ def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
     acc = jnp.dot(acat[:, :], w_ref[:],
                   preferred_element_type=jnp.int32)      # (Ht*W32, cout)
 
-    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    scale_v, bias_v = scale_ref[:], bias_ref[:]
+    mt0 = Ht * W32
+    if isinstance(pool, tuple) and pool[0] == "gmaxm" and quantize_out:
+        # pool-major group-max FIRST, on the int32 accumulator: the
+        # epilogue params are identical across the 4 pool groups and
+        # dequant+bias+act+round+clip is monotonic non-decreasing
+        # (scale > 0), so max commutes exactly — and the f32 VPU work
+        # (which serializes after the MXU inside the kernel) drops 4x.
+        _, f, co = pool
+        go = (f // 2) ** 2 * co
+        acc = jnp.maximum(
+            jnp.maximum(jax.lax.slice(acc, (0, 0), (mt0, go)),
+                        jax.lax.slice(acc, (0, go), (mt0, 2 * go))),
+            jnp.maximum(jax.lax.slice(acc, (0, 2 * go), (mt0, 3 * go)),
+                        jax.lax.slice(acc, (0, 3 * go), (mt0, 4 * go))))
+        scale_v = jax.lax.slice(scale_v, (0, 0), (1, go))
+        bias_v = jax.lax.slice(bias_v, (0, 0), (1, go))
+        pool = ("gmaxm_done", f, co)
+
+    y = acc.astype(jnp.float32) * scale_v + bias_v
     if act == "leaky":
         y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
     elif act == "relu":
@@ -302,7 +481,11 @@ def _conv_rs_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, out_ref,
     # Mosaic supports only simple splits of the sublane dim; express the
     # pools as slice+max instead of multi-dim reshapes.
     mt = Ht * W32
-    if isinstance(pool, tuple) and pool[0] == "gmaxm":
+    if isinstance(pool, tuple) and pool[0] == "gmaxm_done":
+        # group-max already applied on the i32 accumulator above
+        _, f, co = pool
+        out = y.reshape(Ht, W32, (f // 2) ** 2 * co)
+    elif isinstance(pool, tuple) and pool[0] == "gmaxm":
         # pool-major fold layout: 4 contiguous slices, 3 vector maxes
         _, f, co = pool
         go = (f // 2) ** 2 * co

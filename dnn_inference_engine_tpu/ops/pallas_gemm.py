@@ -73,7 +73,9 @@ def _gemm_kernel_flat(a_ref, b_ref, scale_ref, bias_ref, out_ref,
     bv = b_ref[:]
     if bv.dtype != av.dtype:
         bv = bv.astype(av.dtype)
-    acc = jnp.dot(av, bv, preferred_element_type=acc_dtype)
+    acc = jnp.dot(av, bv, preferred_element_type=acc_dtype,
+                  precision=(jax.lax.Precision.HIGHEST
+                             if av.dtype == jnp.float32 else None))
     _epilogue(acc, scale_ref[:], bias_ref[:], act, quantize_out, out_ref,
               raw_acc)
 
@@ -93,7 +95,9 @@ def _gemm_kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref,
         # weight-only (w8) path: f32 activations x int8 weights — dequant
         # codes to f32 in VMEM (the HBM copy of weights stays int8)
         bv = bv.astype(av.dtype)
-    acc_ref[:] += jnp.dot(av, bv, preferred_element_type=acc_dtype)
+    acc_ref[:] += jnp.dot(av, bv, preferred_element_type=acc_dtype,
+                          precision=(jax.lax.Precision.HIGHEST
+                                     if av.dtype == jnp.float32 else None))
 
     @pl.when(k == nk - 1)
     def _():

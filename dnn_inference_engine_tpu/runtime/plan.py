@@ -74,7 +74,7 @@ class Stage:
 
 
 _CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
-               "rs": "rs", "rs2": "rs",
+               "rs": "rs", "rs2": "rs", "stem_rs": "stem_rs",
                "xla": "xla", "gemm": "gemm", "auto": "auto", "s0": "s0"}
 
 # measured-fastest strategy for YOLOv2-tiny @ batch 32 on v5e.
@@ -106,9 +106,19 @@ _YOLOV2_STRATEGY = {
     # - conv1 f4 via the k2 SHIFTED fold (fold_conv3x3_k2_weights:
     #   4f^2/9 of the k3 MACs) + cin_pad 64: whole-net 2.09 ms vs 2.62
     #   (k3-pad64) vs 2.77 (k2 unpadded) — same-process min A/B.
-    0: ("fold_xla_k2", 4, {"cin_pad": 64}),
+    # Round-2b re-sweep (same-process min A/B on v5e, uint8 wire):
+    # - stage 0 -> stem_rs: the ONE-KERNEL fused stem (quantize + shifted
+    #   s2d(4) + 2x2 folded conv + i32 group-max + epilogue, see
+    #   pallas_conv.stem_fused_k2): 0.67-0.73 ms vs 1.16-1.21 for the
+    #   fold_xla_k2 XLA chain; whole-net 2.14 vs 2.58 ms. cin_pad 64
+    #   beats 48 (tile-aligned A_cat writes): 2.28 vs 2.39 whole-net.
+    # - conv3 (L4) -> the k2 shifted fold: 0.40 ms vs 0.42 (k3); the
+    #   pallas rs tier LOSES here ((104,104,64)x128: 1.15 ms vs 0.10-0.17
+    #   XLA; (52,52,128)x256: 0.55-0.60 vs 0.40-0.42) — XLA's int8 conv
+    #   emitter wins at MXU-dense mid-net shapes, keep it.
+    0: ("stem_rs", 4, {"cin_pad": 64}),
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
-    4: ("fold_xla", 2),     # conv3 folded f2 (absorbs the slow pool)
+    4: ("fold_xla_k2", 2),  # conv3 shifted-k2 f2 (absorbs the slow pool)
     6: ("xla", 1),
     8: ("xla", 1),
     10: ("xla", 1),
@@ -121,9 +131,9 @@ _YOLOV2_STRATEGY = {
 # so they inherit its measured choices; the graph tail (routes/upsample,
 # 1x1 mixes) uses the dispatch thresholds (gemm on MXU-shaped layers).
 _YOLOV3_STRATEGY = {
-    0: ("fold_xla_k2", 4, {"cin_pad": 64}),   # same shapes as yolov2 conv1
+    0: ("stem_rs", 4, {"cin_pad": 64}),       # same shapes as yolov2 conv1
     2: ("fold_xla", 2),
-    4: ("fold_xla", 2),                       # absorbs the C=64 pool
+    4: ("fold_xla_k2", 2),                    # absorbs the C=64 pool
 
     6: ("xla", 1),
     8: ("xla", 1),
@@ -195,7 +205,7 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             stages.append(Stage(
                 kind=_CONV_KINDS[kind],
                 conv_li=li, pool_li=pool_li, fold=fold,
-                k=2 if kind in ("rs2", "fold_xla_k2") else 3,
+                k=2 if kind in ("rs2", "fold_xla_k2", "stem_rs") else 3,
                 s2d_out=opts.get("s2d_out", False),
                 cin_pad=opts.get("cin_pad", 0), act=layer.act,
                 stride=layer.stride, padding=layer.padding,
@@ -356,7 +366,8 @@ def plan_input_uint8_ok(stages: Sequence[Stage]) -> bool:
     in-kernel) — the engine then skips the separate /255 normalize and
     the f32 materialization of the input batch."""
     st = stages[0]
-    return st.kind in ("fold_xla", "fold_xla_k2") and st.fold == 4
+    return (st.kind in ("fold_xla", "fold_xla_k2", "stem_rs")
+            and st.fold == 4)
 
 
 def plan_forward_w8(model, stages: Sequence[Stage],
@@ -425,7 +436,10 @@ def plan_forward_w8(model, stages: Sequence[Stage],
                 w = pp["wq"].astype(jnp.float32) * pp["s_w"]
                 x = apply_activation(
                     x.astype(jnp.float32) @ w + pp["b"], st.act)
-            elif st.kind == "fold_xla_k2":
+            elif st.kind in ("fold_xla_k2", "stem_rs"):
+                # stem_rs is the int8 fused-stem Pallas kind; its stage
+                # params are identical to fold_xla_k2's, and this bf16
+                # XLA chain is its w8 counterpart.
                 f = st.fold
                 assert cur_fold == 1, cur_fold
                 x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
@@ -526,6 +540,21 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         bias = jnp.tile(pp["b"], 4) / s_next
         x = stage0_fused_v2(x, pp["wv"], scale, bias, s_in, act=st.act)
         return x, s_next, 2
+    if st.kind == "stem_rs":
+        # whole stage-0 in ONE Pallas kernel: quantize (uint8 wire or
+        # f32) + shifted s2d(4) + 2x2 folded conv + epilogue/requant +
+        # pool-major group-max (ops/pallas_conv.py::stem_fused_k2). Same
+        # contract as fold_xla_k2 below but the folded input and the
+        # pre-gmax tensor never round-trip HBM.
+        from dnn_inference_engine_tpu.ops.pallas_conv import stem_fused_k2
+        assert cur_fold == 1 and cur_scale is None and st.fold == 4, st
+        assert not st.s_out_is_final, st
+        s_in = jnp.float32(act_scales[li])
+        s_out = s_next
+        scale = (s_in * pp["s_w"]) / s_out
+        bias = pp["b"] / s_out
+        x = stem_fused_k2(x, pp["wq"], scale, bias, s_in, act=st.act)
+        return x, s_out, st.fold // 2
     if st.kind == "fold_xla_k2":
         # shifted-fold k2 formulation via XLA conv: a 2x2 VALID conv over
         # the shifted s2d(f) covers the same 3x3 receptive field with

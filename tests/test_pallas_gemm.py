@@ -87,7 +87,11 @@ def test_extract_patches_matches_conv(rng, k, stride):
     ref = np.asarray(conv2d_fp32(jnp.asarray(x), jnp.asarray(w),
                                  jnp.zeros(8), act="linear", stride=stride))
     p = extract_patches(jnp.asarray(x), k, k, stride, "SAME")
-    got = np.asarray(p.reshape(-1, k * k * 5) @ w.reshape(-1, 8)).reshape(ref.shape)
+    # HIGHEST: the reference path multiplies exactly; the test's own
+    # matmul must not round through bf16 on TPU
+    got = np.asarray(jnp.dot(
+        p.reshape(-1, k * k * 5), jnp.asarray(w).reshape(-1, 8),
+        precision=jax.lax.Precision.HIGHEST)).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 

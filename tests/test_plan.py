@@ -28,10 +28,11 @@ def test_plan_builds_for_yolov2():
     convs = [s for s in plan if s.kind != "pool"]
     assert len(convs) == 9
     # conv1-conv3 folded (absorbing their pools); the rest measured-xla
+    assert convs[0].kind == "stem_rs"
     assert convs[0].fold == 4 and convs[0].pool_li == 1
     assert convs[0].cin_pad == 64
     assert convs[1].fold == 2
-    assert convs[2].kind == "fold_xla" and convs[2].fold == 2
+    assert convs[2].kind == "fold_xla_k2" and convs[2].fold == 2
     assert convs[3].kind == "xla"
     assert convs[-1].s_out_is_final
 
