@@ -350,9 +350,12 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         n, hp * 12, w4)
 
     if not ht:
-        for cand in (13, 8, 4, 2, 1):
+        # bigger blocks amortize the grid and keep the MXU fed: 52 > 26 >
+        # 13 measured on v5e (0.652/0.670/0.697 ms at batch 32); the
+        # budget proxy keeps A_cat + i32 acc + f32 epilogue within VMEM.
+        for cand in (52, 26, 13, 8, 4, 2, 1):
             if hout % cand == 0 and cand * wout * (4 * cin + 8 * coutf) \
-                    < 8_000_000:
+                    < 13_000_000:
                 ht = cand
                 break
     assert hout % ht == 0, (hout, ht)
