@@ -271,9 +271,12 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
     k = 4 * cin
     if kpad != k:
         acat[:, k:] = jnp.zeros((ht * wout, kpad - k), jnp.int8)
-    # one transpose per folded input row; each feeds up to 4 A_cat taps
+    # one transpose per folded input row; each feeds up to 4 A_cat taps.
+    # (A single whole-block transpose + slice-only tap writes was A/B'd
+    # and LOSES: 0.78 vs 0.52-0.66 ms at batch 32 — Mosaic handles many
+    # small (48, w4) transposes better than one (48*(ht+1), w4) one.)
     for y in range(ht + 1):
-        t = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T  # (w4,48)
+        t = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T
         if cin > 48:
             t = jnp.pad(t, ((0, 0), (0, cin - 48)))
         for dh in (0, 1):
@@ -282,7 +285,8 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                 continue
             for dw in (0, 1):
                 j = dh * 2 + dw
-                acat[yo * wout:(yo + 1) * wout, j * cin:(j + 1) * cin] = \
+                acat[yo * wout:(yo + 1) * wout,
+                     j * cin:(j + 1) * cin] = \
                     jax.lax.slice(t, (dw, 0), (dw + wout, cin))
 
     acc = jnp.dot(acat[:, :], w_ref[:],
@@ -350,10 +354,10 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         n, hp * 12, w4)
 
     if not ht:
-        # bigger blocks amortize the grid and keep the MXU fed: 52 > 26 >
-        # 13 measured on v5e (0.652/0.670/0.697 ms at batch 32); the
-        # budget proxy keeps A_cat + i32 acc + f32 epilogue within VMEM.
-        for cand in (52, 26, 13, 8, 4, 2, 1):
+        # ht 13/26/52 measure within relay noise of each other on v5e
+        # (interleaved medians 0.52-0.71 ms at batch 32); 13 edges the
+        # medians and needs the least VMEM — keep it first.
+        for cand in (13, 26, 52, 8, 4, 2, 1):
             if hout % cand == 0 and cand * wout * (4 * cin + 8 * coutf) \
                     < 13_000_000:
                 ht = cand
