@@ -153,6 +153,21 @@ _DEFAULT_STRATEGIES = {
     # resnet18: no entry -> every conv defaults to ("xla", 1). Measured
     # (224x224 batch 32, v5e): all-xla 1.10 ms vs 2.27 ms for the
     # dispatch-auto mix that routed deep blocks to the im2col+GEMM tier.
+    #
+    # NEGATIVE RESULT (round 2, do not re-try without new evidence): a
+    # fused Pallas stem for the 7x7/s2 conv + 3x3/s2 pool (quantize +
+    # fold-2 4x4 conv + i32 spatial pool in one kernel, mirroring the
+    # winning YOLO stem_rs) measured 0.81 ms standalone / whole-net
+    # 1.71 ms vs 0.98 ms all-XLA — the per-row (48,116) transposes
+    # dominate a stem whose data is 14x smaller than YOLO's. A
+    # transpose-free variant reading an XLA-prefolded u8 tensor was
+    # WORSE (2.15 ms: sliced-then-reshaped A_cat writes gather per
+    # row), and a pure-XLA folded stem (u8 s2d + 12-ch quantize + 4x4
+    # VALID conv) hit 1.05 ms standalone. XLA's in-graph stem fusion
+    # (clamp_convert overlapped with the convs) beats all isolated
+    # formulations here; revisit only with a fundamentally different
+    # layout (e.g. channel-major chain or Mosaic strided-gather
+    # support).
 }
 
 
