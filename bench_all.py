@@ -50,10 +50,44 @@ def bench_model(model, mode, batch, kernel="auto", input_size=None):
 
 
 def bench_scaling():
-    """dp=1 vs dp=2 scaling efficiency on the current device set."""
+    """dp=1 vs dp=2 scaling efficiency on the current device set.
+
+    With a single device (the sandbox exposes one TPU chip), the harness
+    re-runs itself in a subprocess on an 8-virtual-device CPU mesh so the
+    artifact always carries a scaling figure — marked simulated: the
+    collective-correctness and harness plumbing are validated; the
+    efficiency NUMBER is only meaningful on a real multi-chip slice.
+    """
     import jax
     if len(jax.devices()) < 2:
-        return {"note": "single device: scaling harness needs >=2 devices"}
+        import json as _json
+        import subprocess
+        import sys
+        code = (
+            "import os\n"
+            "os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS','') "
+            "+ ' --xla_force_host_platform_device_count=8').strip()\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "import json\n"
+            "from bench_all import bench_scaling\n"
+            "print('SCALING_JSON ' + json.dumps(bench_scaling()))\n"
+        )
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=1200,
+                               capture_output=True, text=True,
+                               cwd=__import__("os").path.dirname(
+                                   __import__("os").path.abspath(__file__)))
+            for line in r.stdout.splitlines():
+                if line.startswith("SCALING_JSON "):
+                    out = _json.loads(line[len("SCALING_JSON "):])
+                    out["note"] = ("single real device: simulated on an "
+                                   "8-virtual-device CPU mesh subprocess")
+                    return out
+            return {"note": "CPU-mesh scaling subprocess produced no "
+                            "result", "stderr": r.stderr[-500:]}
+        except Exception as e:       # noqa: BLE001 — artifact, not control
+            return {"note": f"scaling subprocess failed: {e}"}
     import jax.numpy as jnp
     import numpy as np
     from dnn_inference_engine_tpu.models import yolov2_tiny
