@@ -248,7 +248,8 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
 
 
 def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
-                    o_ref, acat, *, ht, w4, wout, cin, kpad, cout, act, go):
+                    o_ref, acat, *, ht, w4, wout, cin, kpad, cout, act, go,
+                    exact_u8=False):
     """Fused stage-0: quantize (u8/f32) + shifted s2d(4) + 2x2 folded conv
     + dequant/bias/act/requant + pool-major group-max, one HBM pass.
 
@@ -256,8 +257,17 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
     holds folded row y's packed (p*12+q*3+c) element l (the same layout
     quant_space_to_depth4 consumes). halo_ref: folded row ht of this
     block (2x2 VALID conv needs ht+1 input rows per ht output rows).
+
+    exact_u8: EXACT uint8 ingestion — layer-0 input scale is fixed at
+    1/255 so the codes are u - 128 with zero quantization error (no
+    divide/round/clip at all); the +128 offset times the per-channel
+    weight row-sums is folded into ``bias`` by the caller. Zero-padded
+    halo pixels are exact too: u=0 contributes (v+128) = 0.
     """
     def quant(xv):
+        if exact_u8:
+            # u - 128 == int8-bitcast(u XOR 0x80), one VPU op
+            return jnp.bitwise_xor(xv, jnp.uint8(0x80)).view(jnp.int8)
         if xv.dtype == jnp.uint8:
             # wire format: normalize in-kernel (see _qs2d_kernel)
             iv = xv.view(jnp.int8).astype(jnp.int32)
@@ -314,10 +324,10 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act", "ht", "interpret"))
+                   static_argnames=("act", "ht", "exact_u8", "interpret"))
 def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                   bias: jnp.ndarray, s_in,
-                  act: str = "leaky", ht: int = 0,
+                  act: str = "leaky", ht: int = 0, exact_u8: bool = False,
                   interpret: Optional[bool] = None) -> jnp.ndarray:
     """Whole stage-0 pipeline in ONE Pallas kernel for a 3x3/s1 conv +
     2x2/s2 maxpool stem at fold f=4 (YOLOv2/v3-tiny conv1).
@@ -341,6 +351,8 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     n, h, wd, c = x.shape
     assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
     assert x.dtype in (jnp.float32, jnp.uint8), x.dtype
+    assert not exact_u8 or x.dtype == jnp.uint8, (
+        "exact_u8 ingestion needs the uint8 wire format")
     cin, coutf = int(w.shape[2]), int(w.shape[3])
     assert w.shape[:2] == (2, 2) and cin >= 48 and coutf % 4 == 0
     go = coutf // 4
@@ -381,7 +393,8 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
 
     return pl.pallas_call(
         functools.partial(_stem_k2_kernel, ht=ht, w4=w4, wout=wout,
-                          cin=cin, kpad=kpad, cout=coutf, act=act, go=go),
+                          cin=cin, kpad=kpad, cout=coutf, act=act, go=go,
+                          exact_u8=exact_u8),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),

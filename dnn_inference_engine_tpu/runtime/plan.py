@@ -568,11 +568,29 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         from dnn_inference_engine_tpu.ops.pallas_conv import stem_fused_k2
         assert cur_fold == 1 and cur_scale is None and st.fold == 4, st
         assert not st.s_out_is_final, st
-        s_in = jnp.float32(act_scales[li])
         s_out = s_next
-        scale = (s_in * pp["s_w"]) / s_out
-        bias = pp["b"] / s_out
-        x = stem_fused_k2(x, pp["wq"], scale, bias, s_in, act=st.act)
+        if x.dtype == jnp.uint8:
+            # EXACT uint8 ingestion: layer-0 input scale is 1/255, so
+            # the code for pixel u is exactly u (zero input quantization
+            # error — strictly more accurate than the calibrated scale,
+            # whose resolution is coarser for [0,1] inputs). The kernel
+            # feeds v = u - 128 to the MXU; the offset contributes
+            # 128 * (per-channel weight row-sums), folded into the bias.
+            # Row-sums are identical across the 4 pool groups (every
+            # original 3x3 tap appears exactly once per group), so the
+            # i32 group-max-first epilogue stays exact.
+            s_in = jnp.float32(1.0 / 255.0)
+            w1 = pp["wq"].reshape(-1, pp["s_w"].shape[0]).astype(
+                jnp.float32).sum(axis=0)
+            scale = (s_in * pp["s_w"]) / s_out
+            bias = (pp["b"] + 128.0 * s_in * pp["s_w"] * w1) / s_out
+            x = stem_fused_k2(x, pp["wq"], scale, bias, s_in,
+                              act=st.act, exact_u8=True)
+        else:
+            s_in = jnp.float32(act_scales[li])
+            scale = (s_in * pp["s_w"]) / s_out
+            bias = pp["b"] / s_out
+            x = stem_fused_k2(x, pp["wq"], scale, bias, s_in, act=st.act)
         return x, s_out, st.fold // 2
     if st.kind == "fold_xla_k2":
         # shifted-fold k2 formulation via XLA conv: a 2x2 VALID conv over

@@ -190,8 +190,12 @@ def test_engine_stage_times_smoke():
 
 
 def test_uint8_wire_format_matches_f32(rng):
-    """detect(uint8 image) must equal detect(u8/255.0 as f32) exactly:
-    the fused stem normalizes in-kernel (plan_input_uint8_ok path)."""
+    """detect(uint8 image) vs detect(u8/255.0 as f32): the stem_rs kind
+    ingests the wire format EXACTLY (layer-0 scale fixed at 1/255, codes
+    are the pixel values — zero input quantization error), while the f32
+    path quantizes at the coarser calibrated scale. The heads must agree
+    to quantization-grade tolerance; bit-equality is NOT expected (the
+    uint8 path is the more accurate of the two by construction)."""
     import jax
     from dnn_inference_engine_tpu.config import EngineConfig
     from dnn_inference_engine_tpu.runtime.engine import Engine
@@ -204,4 +208,5 @@ def test_uint8_wire_format_matches_f32(rng):
     assert plan_input_uint8_ok(eng._plan)
     h1 = np.asarray(eng.forward_fn()(eng.exec_params, jnp.asarray(u8)))
     h2 = np.asarray(eng.forward_fn()(eng.exec_params, jnp.asarray(f32)))
-    np.testing.assert_array_equal(h1, h2)
+    rel = np.abs(h1 - h2).max() / (np.abs(h2).max() + 1e-9)
+    assert rel < 0.03, rel

@@ -112,3 +112,66 @@ def test_stem_rs_plan_stage_matches_fold_xla_k2(rng):
     # downstream layers re-quantize; 1-LSB stem flips can grow slightly
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel
+
+
+def test_stem_fused_k2_exact_u8(rng):
+    """EXACT uint8 ingestion: with s_in = 1/255 the input codes are the
+    raw pixel values (zero quantization error). The kernel feeds
+    v = u - 128 and the caller folds 128 * weight-row-sums into the
+    bias; the result must match the reference chain quantized at
+    s_in = 1/255 (where quantize is the identity on the pixel grid)."""
+    n, h, wd = 1, 416, 416
+    xu = rng.integers(0, 256, (n, h, wd, 3)).astype(np.uint8)
+    x_f32 = jnp.asarray(xu.astype(np.float32) / 255.0)
+    w = rng.normal(size=(3, 3, 3, 16)).astype(np.float32) * 0.2
+    wq, s_w = quantize_weights_per_channel(jnp.asarray(w))
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32) * 0.1
+    s_in, s_out = 1.0 / 255.0, 0.05
+
+    # the exact reference: integer conv on the RAW pixel codes u (which
+    # exceed the +-127 int8 code range — that is exactly what the
+    # v = u - 128 offset trick buys), then the standard epilogue chain
+    from dnn_inference_engine_tpu.ops.pool import maxpool as _mp
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(xu, jnp.int32), wq.astype(jnp.int32), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s_in * s_w) + b
+    y = jnp.where(y > 0, y, 0.1 * y)
+    yq = quantize_act(y, jnp.float32(s_out))
+    ref = space_to_depth(_mp(yq, 2, 2, "VALID"), 2)
+
+    wf, _, _ = _stem_args(rng, wq, s_w, b, s_in, s_out, 64)
+    w1 = jnp.asarray(np.asarray(wf).reshape(-1, 256).astype(np.float32)
+                     .sum(axis=0))
+    s_wt = jnp.tile(s_w, 16)
+    scale = jnp.float32(s_in) * s_wt / s_out
+    bias = (jnp.tile(b, 16) + 128.0 * s_in * s_wt * w1) / s_out
+    got = stem_fused_k2(jnp.asarray(xu), wf, scale, bias,
+                        jnp.float32(s_in), exact_u8=True)
+    assert_int8_1lsb(got, ref)
+
+
+def test_stem_rs_plan_exact_u8_more_accurate_than_f32(rng):
+    """Through the whole plan: the uint8 wire (exact ingestion) must be
+    at least as close to the fp32 model as the f32 path (calibrated
+    layer-0 quantization) is."""
+    import jax
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=2,
+                              input_size=64)
+                 ).load_weights(key=jax.random.PRNGKey(0)).prepare()
+    ref = np.asarray(eng.model.forward_fp32(eng.fp32_params,
+                                            jnp.asarray(f32)))
+    h_u8 = np.asarray(eng.forward_fn()(eng.exec_params, jnp.asarray(u8)))
+    h_f32 = np.asarray(eng.forward_fn()(eng.exec_params,
+                                        jnp.asarray(f32)))
+
+    def rel_rms(a):
+        return float(np.sqrt(np.mean((a - ref) ** 2))
+                     / np.sqrt(np.mean(ref ** 2)))
+    assert rel_rms(h_u8) <= rel_rms(h_f32) * 1.05, (
+        rel_rms(h_u8), rel_rms(h_f32))
