@@ -249,7 +249,7 @@ def quant_space_to_depth4(x: jnp.ndarray, s_in, ht: int = 8,
 
 def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                     o_ref, acat, *, ht, w4, wout, cin, kpad, cout, act, go,
-                    exact_u8=False):
+                    exact_u8=False, tw=1):
     """Fused stage-0: quantize (u8/f32) + shifted s2d(4) + 2x2 folded conv
     + dequant/bias/act/requant + pool-major group-max, one HBM pass.
 
@@ -281,14 +281,17 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
     k = 4 * cin
     if kpad != k:
         acat[:, k:] = jnp.zeros((ht * wout, kpad - k), jnp.int8)
-    # one transpose per folded input row; each feeds up to 4 A_cat taps.
-    # (A single whole-block transpose + slice-only tap writes was A/B'd
-    # and LOSES: 0.78 vs 0.52-0.66 ms at batch 32 — Mosaic handles many
-    # small (48, w4) transposes better than one (48*(ht+1), w4) one.)
+    # ``tw`` folded rows per transpose; each transposed window feeds up
+    # to 4 A_cat taps per row it contains. (One whole-block transpose
+    # was A/B'd and LOSES: 0.78 vs 0.52-0.66 ms at batch 32 — Mosaic
+    # handles small/medium transposes better than one (48*(ht+1), w4).)
+    assert (ht + 1) % tw == 0, (ht, tw)
+    ts = {}
+    for g in range((ht + 1) // tw):
+        ts[g] = jax.lax.slice(xq, (48 * tw * g, 0),
+                              (48 * tw * (g + 1), w4)).T  # (w4, 48*tw)
     for y in range(ht + 1):
-        t = jax.lax.slice(xq, (48 * y, 0), (48 * y + 48, w4)).T
-        if cin > 48:
-            t = jnp.pad(t, ((0, 0), (0, cin - 48)))
+        g, o = y // tw, (y % tw) * 48
         for dh in (0, 1):
             yo = y - dh
             if not 0 <= yo < ht:
@@ -296,8 +299,12 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
             for dw in (0, 1):
                 j = dh * 2 + dw
                 acat[yo * wout:(yo + 1) * wout,
-                     j * cin:(j + 1) * cin] = \
-                    jax.lax.slice(t, (dw, 0), (dw + wout, cin))
+                     j * cin:j * cin + 48] = \
+                    jax.lax.slice(ts[g], (dw, o), (dw + wout, o + 48))
+    if cin > 48:
+        for j in range(4):
+            acat[:, j * cin + 48:(j + 1) * cin] = jnp.zeros(
+                (ht * wout, cin - 48), jnp.int8)
 
     acc = jnp.dot(acat[:, :], w_ref[:],
                   preferred_element_type=jnp.int32)     # (ht*wout, cout)
@@ -324,10 +331,12 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act", "ht", "exact_u8", "interpret"))
+                   static_argnames=("act", "ht", "exact_u8", "tw",
+                                    "interpret"))
 def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                   bias: jnp.ndarray, s_in,
                   act: str = "leaky", ht: int = 0, exact_u8: bool = False,
+                  tw: int = 0,
                   interpret: Optional[bool] = None) -> jnp.ndarray:
     """Whole stage-0 pipeline in ONE Pallas kernel for a 3x3/s1 conv +
     2x2/s2 maxpool stem at fold f=4 (YOLOv2/v3-tiny conv1).
@@ -375,6 +384,11 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                 ht = cand
                 break
     assert hout % ht == 0, (hout, ht)
+    if not tw:
+        # folded rows per in-kernel transpose: fewer, wider transposes
+        # measure ~4% faster (tw=2/7: 0.72-0.73 ms vs 0.76 at tw=1,
+        # batch 32 v5e interleaved medians)
+        tw = next(c for c in (7, 3, 2, 1) if (ht + 1) % c == 0)
     nb = hout // ht
     xblk = xt[:, :48 * hout]
     halo = jnp.stack([xt[:, 48 * ht * (i + 1):48 * ht * (i + 1) + 48]
@@ -394,7 +408,7 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     return pl.pallas_call(
         functools.partial(_stem_k2_kernel, ht=ht, w4=w4, wout=wout,
                           cin=cin, kpad=kpad, cout=coutf, act=act, go=go,
-                          exact_u8=exact_u8),
+                          exact_u8=exact_u8, tw=tw),
         grid=(n, nb),
         in_specs=[
             pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),
