@@ -238,10 +238,18 @@ class Engine:
             x = jax.device_put(x, input_sharding(self.mesh))
         return x
 
+    def detect_device(self, images: np.ndarray):
+        """Dispatch the detect program WITHOUT host synchronization:
+        returns device arrays (boxes, scores, classes). JAX dispatch is
+        async, so the caller can overlap host work (e.g. assembling the
+        next serving batch) with device execution and only pay the
+        device->host sync when it np.asarray's the results."""
+        return self.detect_fn()(self.exec_params,
+                                self._device_batch(images))
+
     def detect(self, images: np.ndarray):
         """Preprocessed image batch (N,S,S,3) f32 -> host numpy results."""
-        b, s, cl = self.detect_fn()(self.exec_params,
-                                    self._device_batch(images))
+        b, s, cl = self.detect_device(images)
         return np.asarray(b), np.asarray(s), np.asarray(cl)
 
     def classify(self, images: np.ndarray) -> np.ndarray:

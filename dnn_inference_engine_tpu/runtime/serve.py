@@ -90,13 +90,42 @@ class ContinuousBatcher:
                 break
         return batch
 
+    def _resolve(self, pending):
+        """Sync a dispatched batch's device results and fulfil futures."""
+        batch, res = pending
+        try:
+            boxes, scores, classes = (np.asarray(t) for t in res)
+        except Exception as e:                         # resolve, don't wedge
+            for _img, fut, _t in batch:
+                fut.set_exception(e)
+            return
+        now = time.perf_counter()
+        with self._lat_lock:
+            self._n_images += len(batch)
+            self._n_batches += 1
+            for i, (_img, fut, t0) in enumerate(batch):
+                self._lat_ms.append((now - t0) * 1e3)
+                if len(self._lat_ms) > 10000:
+                    self._lat_ms = self._lat_ms[-5000:]
+                fut.set_result((boxes[i], scores[i], classes[i]))
+
     def _loop(self):
         size = self.engine.config.input_size
+        # depth-1 software pipeline: batch n is dispatched (async — JAX
+        # queues the transfer + program) BEFORE batch n-1's results are
+        # pulled to host, so host-side assembly + H2D of the next batch
+        # overlap device execution + D2H of the previous one. Under the
+        # sandbox relay (docs/RELAY.md: transfers dominate) this is the
+        # difference between serialized and overlapped transfer cost; on
+        # real PCIe it hides the entire host round trip.
+        pending = None
         while not self._stop.is_set():
             batch = self._collect()
             if not batch:
+                if pending is not None:
+                    self._resolve(pending)
+                    pending = None
                 continue
-            n = len(batch)
             # ship uint8: 4x less host->device transfer; the engine
             # normalizes on device (f32 [0,1] inputs are converted here,
             # uint8 inputs pass through)
@@ -108,20 +137,16 @@ class ContinuousBatcher:
                     x[i] = np.clip(np.round(img * 255.0), 0, 255
                                    ).astype(np.uint8)
             try:
-                boxes, scores, classes = self.engine.detect(x)
+                res = self.engine.detect_device(x)
             except Exception as e:                     # resolve, don't wedge
                 for _img, fut, _t in batch:
                     fut.set_exception(e)
                 continue
-            now = time.perf_counter()
-            with self._lat_lock:
-                self._n_images += n
-                self._n_batches += 1
-                for i, (_img, fut, t0) in enumerate(batch):
-                    self._lat_ms.append((now - t0) * 1e3)
-                    if len(self._lat_ms) > 10000:
-                        self._lat_ms = self._lat_ms[-5000:]
-                    fut.set_result((boxes[i], scores[i], classes[i]))
+            if pending is not None:
+                self._resolve(pending)
+            pending = (batch, res)
+        if pending is not None:
+            self._resolve(pending)
 
     # -- observability -------------------------------------------------
 

@@ -31,6 +31,11 @@ class FakeEngine:
         classes = np.zeros((n, 4), np.int32)
         return boxes, scores, classes
 
+    def detect_device(self, x):
+        # same contract as Engine.detect_device: results the batcher may
+        # np.asarray later (numpy results pass through unchanged)
+        return self.detect(x)
+
 
 def test_single_request_roundtrip():
     eng = FakeEngine()
