@@ -315,6 +315,9 @@ def _stem_k2_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
     # with the epilogue EXACTLY — and the f32 VPU work drops 4x (the
     # epilogue over the pre-gmax tensor dominated this kernel: ~0.9 ms
     # serialized after a ~0.12 ms matmul at batch 32 on v5e).
+    # (Splitting the GEMM into two 128-lane halves maxed as they land —
+    # so the full (M,256) i32 acc never materializes — measured NEUTRAL:
+    # 0.71-0.73 vs 0.72-0.76 ms; Mosaic already register-blocks this.)
     mt = ht * wout
     acc = jnp.maximum(
         jnp.maximum(jax.lax.slice(acc, (0, 0), (mt, go)),
