@@ -1,0 +1,55 @@
+"""Performance regression gate (SURVEY.md section 4.5 / N4): the bench
+harness must FAIL LOUDLY when a kernel or plan regression lands.
+
+TPU-only (the numbers are meaningless on the CPU-interpret lane). The
+floor is set ~30% under the steady headline (14.7-15.0k img/s as of
+round 2) so relay-pool variance (+-15% across processes) cannot trip
+it, while a real regression — e.g. losing the fused stem (would drop to
+~12.3k) or the fold strategy (~8k) — still fails.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="perf floors are only meaningful on real TPU hardware")
+
+
+def test_headline_throughput_floor():
+    import jax.numpy as jnp
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+
+    batch = 32
+    eng = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
+                              kernel="auto", batch=batch)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (batch, 416, 416, 3)), jnp.uint8)
+    fwd = lambda xx: eng._fwd(eng.exec_params, xx)
+    t = per_iter_time(fwd, (x,), iters_hi=60, iters_lo=10, reps=3,
+                      stat="min")
+    imgs_per_s = batch / t
+    assert imgs_per_s > 10_000, (
+        f"headline W8A8 batch-32 forward regressed: {imgs_per_s:.0f} "
+        f"img/s < 10k floor ({t*1e3:.3f} ms/batch)")
+
+
+def test_stage_roofline_floor():
+    """The executed-stage report must keep the GEMM-bound tail at
+    roofline-grade MFU (north star >= 95%; floor 55% under timer
+    noise) and the whole plan under a total-ms ceiling."""
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+
+    eng = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
+                              kernel="auto", batch=32)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    rep = eng.stage_times(batch=32)
+    total = sum(r["ms"] for r in rep)
+    assert total < 3.5, f"executed stages total {total:.2f} ms (> 3.5)"
+    l13 = next(r for r in rep if r["name"].startswith("L13"))
+    assert l13["mfu_pct"] is None or l13["mfu_pct"] > 55, l13
