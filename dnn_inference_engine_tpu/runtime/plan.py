@@ -83,9 +83,9 @@ _CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
 # then feeds conv2's fold-2 stage with no relayout between them.
 # Relayout-minimized chain: conv1's k2-f4 stage emits fold-2 layout that
 # conv2's k3-f2 stage reads directly; conv3/conv5 take one small XLA s2d
-# each. (Kernel-side s2d_out would remove those too, but its stride-2
-# column extraction lowers to a >2D gather Mosaic rejects — CPU tests
-# keep the path alive for when Mosaic grows strided-slice support.)
+# each. (The rs kernel's s2d_out emission compiles on TPU since round 2
+# — _parity_extract's flatten-reshape-index form — but the rs tier
+# itself loses to XLA at these shapes, so the XLA s2d stays.)
 # Profiling showed XLA s2d/relayout copies previously cost more than all
 # conv kernels combined (~2.2 ms/iter at batch 32).
 _YOLOV2_STRATEGY = {

@@ -94,7 +94,7 @@ class ContinuousBatcher:
         """Sync a dispatched batch's device results and fulfil futures."""
         batch, res = pending
         try:
-            boxes, scores, classes = (np.asarray(t) for t in res)
+            boxes, scores, classes = tuple(np.asarray(t) for t in res)
         except Exception as e:                         # resolve, don't wedge
             for _img, fut, _t in batch:
                 fut.set_exception(e)
