@@ -62,13 +62,8 @@ def _build_engine(args):
         apply_overlap_flags()          # before first backend init
     calib = None
     if getattr(args, "calib_images", None):
-        import glob
-        from dnn_inference_engine_tpu.preprocess import (
-            load_image, preprocess_image)
-        files = sorted(glob.glob(args.calib_images + "/*"))[:64]
-        calib = np.stack([preprocess_image(load_image(f),
-                                           cfg.input_size)[0]
-                          for f in files])
+        from dnn_inference_engine_tpu.preprocess import load_calib_images
+        calib = load_calib_images(args.calib_images, cfg.input_size)
     eng = Engine(cfg).load_weights()
     eng.prepare(calib_images=calib)
     return eng
@@ -216,13 +211,10 @@ def cmd_check_goldens(args):
 
 
 def cmd_calibrate(args):
-    import glob
-    from dnn_inference_engine_tpu.preprocess import load_image, preprocess_image
+    from dnn_inference_engine_tpu.preprocess import load_calib_images
     eng = _build_engine(args)
-    files = sorted(glob.glob(args.images + "/*"))[:args.limit]
-    imgs = np.stack([preprocess_image(load_image(f),
-                                      eng.config.input_size)[0]
-                     for f in files])
+    imgs = load_calib_images(args.images, eng.config.input_size,
+                             limit=args.limit)
     eng.act_scales = None
     eng.prepare(calib_images=imgs)
     eng.save(args.out)

@@ -386,6 +386,12 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
                     < 13_000_000:
                 ht = cand
                 break
+        if not ht:
+            raise ValueError(
+                f"stem_fused_k2: no row-block height fits VMEM for "
+                f"hout={hout}, wout={wout}, cin={cin}, cout={coutf}: even "
+                f"ht=1 needs {wout * (4 * cin + 8 * coutf)} B (> 13 MB "
+                f"bound); shrink the input or use the XLA path")
     assert hout % ht == 0, (hout, ht)
     if not tw:
         # folded rows per in-kernel transpose: fewer, wider transposes
@@ -436,7 +442,9 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * hout * wout * kpad * coutf,
-            bytes_accessed=int(xblk.size + halo.size + wmat.size
+            bytes_accessed=int(xblk.size * xblk.dtype.itemsize
+                               + halo.size * halo.dtype.itemsize
+                               + wmat.size * wmat.dtype.itemsize
                                + n * hout * wout * go),
             transcendentals=0),
         interpret=interpret,
@@ -624,6 +632,12 @@ def conv3x3_rs(
             if h_out % cand == 0 and cand * w32 * (kpad + 4 * cout) < 11_000_000:
                 ht = cand
                 break
+        if not ht:
+            raise ValueError(
+                f"conv2d_rs: no row-block height fits VMEM for "
+                f"h_out={h_out}, w32={w32}, kpad={kpad}, cout={cout} "
+                f"(s2d_out={bool(s2d_out)}); even the smallest legal block "
+                f"exceeds the 11 MB bound — use the XLA path")
     assert h_out % ht == 0, (h_out, ht)
     if pool == "pool2":
         assert ht % 2 == 0
@@ -693,8 +707,11 @@ def conv3x3_rs(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h_out * w32 * k * cout,
-            bytes_accessed=int(xblk.size + halo.size + wmat.size
-                               + np.prod(out_shape)),
+            bytes_accessed=int(xblk.size * xblk.dtype.itemsize
+                               + halo.size * halo.dtype.itemsize
+                               + wmat.size * wmat.dtype.itemsize
+                               + np.prod(out_shape)
+                               * np.dtype(out_dtype).itemsize),
             transcendentals=0),
         interpret=interpret,
     )(xblk, halo, wmat, scale2, bias2)

@@ -83,6 +83,42 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
+def load_calib_images(source: str, input_size: int = 416,
+                      limit: int = 64) -> np.ndarray:
+    """Load calibration images from ``source`` into an (N, S, S, 3) f32
+    batch in [0, 1].
+
+    ``source`` is either a directory of image files (anything PIL
+    decodes; each is resized/normalized through preprocess_image) or a
+    ``.npy``/``.npz`` file holding an already-preprocessed (N, H, W, 3)
+    array (f32 in [0,1] or uint8). One helper shared by the CLI's
+    ``--calib-images`` flag and ``EngineConfig.calib`` so both paths
+    calibrate identically (Q2, SURVEY.md section 2.2).
+    """
+    import os
+    if source.endswith((".npy", ".npz")):
+        z = np.load(source, allow_pickle=False)
+        arr = z[list(z.files)[0]] if hasattr(z, "files") else z
+        arr = np.asarray(arr)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        if arr.ndim != 4 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"calibration array must be (N, H, W, 3), got {arr.shape}")
+        if arr.shape[1] != input_size or arr.shape[2] != input_size:
+            arr = np.stack([resize_bilinear(a, input_size, input_size)
+                            for a in arr[:limit]])
+            arr = np.clip(arr, 0.0, 1.0)
+        return arr[:limit].astype(np.float32)
+    import glob as _glob
+    files = sorted(f for f in _glob.glob(os.path.join(source, "*"))
+                   if os.path.isfile(f))[:limit]
+    if not files:
+        raise ValueError(f"no calibration images found in {source!r}")
+    return np.stack([preprocess_image(load_image(f), input_size)[0]
+                     for f in files])
+
+
 def boxes_to_original(boxes_xyxy: np.ndarray, meta: dict) -> np.ndarray:
     """Map network-space xyxy boxes back to original image coordinates."""
     b = np.asarray(boxes_xyxy, np.float32).copy()

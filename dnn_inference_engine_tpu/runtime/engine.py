@@ -104,6 +104,15 @@ class Engine:
                 self._plan_params = prepare_plan_params(
                     self.model, self.params, self._plan)
         if mode == "w8a8" and self.act_scales is None:
+            if calib_images is None and self.config.calib:
+                # config-driven calibration (Q2): a directory of images
+                # or a pre-built .npy/.npz batch — same loader as the
+                # CLI's --calib-images, so the error below's remediation
+                # ("set config.calib") actually works.
+                from dnn_inference_engine_tpu.preprocess import (
+                    load_calib_images)
+                calib_images = load_calib_images(
+                    self.config.calib, self.config.input_size)
             if calib_images is None:
                 # fallback: uniform-noise calibration. Fine for synthetic
                 # weights; an accuracy footgun for real ones — scales from

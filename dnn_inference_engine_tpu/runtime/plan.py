@@ -217,10 +217,6 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
                 # fold needs the absorbable pool, and erases the conv's
                 # pre-pool output (illegal if something routes from it)
                 return None
-            if kind not in _CONV_KINDS:
-                raise ValueError(
-                    f"unknown plan strategy kind {kind!r} for layer {li}; "
-                    f"valid kinds: {sorted(_CONV_KINDS)}")
             stages.append(Stage(
                 kind=_CONV_KINDS[kind],
                 conv_li=li, pool_li=pool_li, fold=fold,

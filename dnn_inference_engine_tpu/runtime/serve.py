@@ -120,6 +120,13 @@ class ContinuousBatcher:
         # real PCIe it hides the entire host round trip.
         pending = None
         while not self._stop.is_set():
+            # A dispatched batch with no follow-up work behind it must
+            # resolve NOW — blocking in _collect first would delay its
+            # futures by up to the 100 ms poll timeout (p99 regression
+            # on the last batch of a burst).
+            if pending is not None and self.q.empty():
+                self._resolve(pending)
+                pending = None
             batch = self._collect()
             if not batch:
                 if pending is not None:

@@ -49,6 +49,39 @@ def test_engine_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
 
+def test_engine_config_calib_field(tmp_path, rng):
+    """EngineConfig.calib drives calibration without the CLI: file-loaded
+    weights + w8a8 prepare successfully when config.calib names a saved
+    calibration batch (the remediation engine.prepare's error suggests)."""
+    x = rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    # a "file-loaded" checkpoint (fp32 params, no scales) would normally
+    # hard-error in w8a8 prepare without calibration images
+    eng0 = Engine(_small_cfg(mode="fp32")).load_weights().prepare()
+    wpath = str(tmp_path / "w.npz")
+    eng0.save(wpath)
+    cpath = str(tmp_path / "calib.npy")
+    np.save(cpath, x)
+
+    eng = Engine(_small_cfg(mode="w8a8", weights=wpath, calib=cpath)
+                 ).load_weights().prepare()
+    assert eng.act_scales is not None
+    # and it matches explicit calib_images= on the same batch
+    eng2 = Engine(_small_cfg(mode="w8a8", weights=wpath)
+                  ).load_weights().prepare(calib_images=x)
+    np.testing.assert_allclose(eng.act_scales, eng2.act_scales, rtol=1e-6)
+
+
+def test_engine_w8a8_file_weights_without_calib_errors(tmp_path, rng):
+    """Without calib anywhere, file-loaded fp32 weights + w8a8 must raise
+    (uniform-noise fallback is only legal for synthetic weights)."""
+    eng0 = Engine(_small_cfg(mode="fp32")).load_weights().prepare()
+    wpath = str(tmp_path / "w.npz")
+    eng0.save(wpath)
+    with pytest.raises(ValueError, match="calib"):
+        Engine(_small_cfg(mode="w8a8", weights=wpath)
+               ).load_weights().prepare()
+
+
 def test_engine_classify_resnet(rng):
     eng = Engine(EngineConfig(model="resnet18", mode="w8", input_size=64,
                               num_classes=1000)).load_weights().prepare()
