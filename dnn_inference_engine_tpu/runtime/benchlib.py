@@ -45,15 +45,24 @@ def _chained_loop(fn: Callable, n_iters: int):
     return loop
 
 
-def per_iter_time(fn: Callable, args: Sequence, iters_hi: int = 0,
-                  iters_lo: int = 0, reps: int = 3,
-                  target_delta_s: float = 0.12, max_iters: int = 2000,
-                  stat: str = "median") -> float:
-    """Median steady-state seconds per invocation of ``fn(*args)``.
+def per_iter_time_stats(fn: Callable, args: Sequence, iters_hi: int = 0,
+                        iters_lo: int = 0, reps: int = 3,
+                        target_delta_s: float = 0.12,
+                        max_iters: int = 2000) -> dict:
+    """Steady-state seconds per invocation of ``fn(*args)``, with spread.
 
     When iteration counts are not given, auto-scales them so the timed
-    loop-count difference is ~``target_delta_s`` — keeps the measurement
-    well above the multi-ms relay-RTT noise floor for us-scale kernels.
+    loop-count difference is ~``target_delta_s`` of device work — keeps
+    the measurement well above the multi-ms relay-RTT noise floor for
+    us-scale kernels. Returns::
+
+        {"min": s, "median": s, "spread_pct": 100*(max-min)/min,
+         "iters": (hi, lo), "delta_work_s": min * (hi - lo)}
+
+    ``delta_work_s`` is the amount of device work the subtraction
+    resolved; when it is small relative to the relay RTT (~25 ms
+    observed) the ratio min/median utilization numbers derived from this
+    measurement are unreliable — callers should mark, not trust, them.
     """
     if not iters_hi:
         # two-point probe so constant overhead (RTT, dispatch) cancels
@@ -82,8 +91,28 @@ def per_iter_time(fn: Callable, args: Sequence, iters_hi: int = 0,
         np.asarray(hi(*args))
         t_hi = time.perf_counter() - t0
         deltas.append((t_hi - t_lo) / (iters_hi - iters_lo))
-    # 'min' approximates uncontended kernel speed on a shared device pool
-    return float(np.min(deltas) if stat == "min" else np.median(deltas))
+    t_min = float(max(np.min(deltas), 1e-12))
+    return {
+        "min": t_min,
+        "median": float(np.median(deltas)),
+        "spread_pct": float(100.0 * (np.max(deltas) - t_min) / t_min),
+        "iters": (iters_hi, iters_lo),
+        "delta_work_s": t_min * (iters_hi - iters_lo),
+    }
+
+
+def per_iter_time(fn: Callable, args: Sequence, iters_hi: int = 0,
+                  iters_lo: int = 0, reps: int = 3,
+                  target_delta_s: float = 0.12, max_iters: int = 2000,
+                  stat: str = "median") -> float:
+    """Median (or min) steady-state seconds per invocation of ``fn``.
+
+    'min' approximates uncontended kernel speed on a shared device pool.
+    """
+    s = per_iter_time_stats(fn, args, iters_hi=iters_hi, iters_lo=iters_lo,
+                            reps=reps, target_delta_s=target_delta_s,
+                            max_iters=max_iters)
+    return s["min"] if stat == "min" else s["median"]
 
 
 def wall_time(fn: Callable, args: Sequence, reps: int = 5) -> float:

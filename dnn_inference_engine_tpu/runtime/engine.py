@@ -270,7 +270,7 @@ class Engine:
     # ------------------------------------------------------------------
 
     def stage_times(self, batch: Optional[int] = None,
-                    iters: Tuple[int, int] = (40, 8)) -> List[Dict]:
+                    iters: Optional[Tuple[int, int]] = None) -> List[Dict]:
         """Per-stage timing + roofline report for the EXECUTED pipeline.
 
         Unlike layer_times (which times the generic per-tier conv ops in
@@ -279,13 +279,23 @@ class Engine:
         state. Per stage: {name, kind, ms, gop (useful work), gop_exec
         (MACs the MXU performs under the stage's formulation), mfu_pct
         (useful-work fraction of int8 peak), hw_util_pct (executed-MAC
-        fraction — how close the kernel itself runs to the hardware)}.
+        fraction — how close the kernel itself runs to the hardware),
+        noise_pct (rep-to-rep spread of the loop-difference), suspect
+        (True when the numbers cannot be trusted: utilization above
+        chip peak, or <20 ms of device work resolved)}.
+
+        By default iteration counts AUTO-SCALE per stage so the timed
+        loop-count difference is ~120 ms of device work — fixed counts
+        under-measure sub-200 us stages through the relay (a 32-iter
+        difference of a 130 us stage is ~4 ms, inside RTT noise, and
+        produced >100% "MFU" artifacts in round 2). Pass explicit
+        ``iters=(hi, lo)`` only for quick smoke timing.
 
         SURVEY.md N4: this is the per-layer roofline % artifact for the
         >=95%-of-roofline north star.
         """
         from dnn_inference_engine_tpu.runtime.benchlib import (
-            V5E_INT8_TOPS, per_iter_time, roofline_pct)
+            V5E_INT8_TOPS, per_iter_time_stats, roofline_pct)
         from dnn_inference_engine_tpu.runtime.plan import (
             _run_stage, plan_forward_w8a8, stage_flops)
         assert self._plan is not None and self.config.mode == "w8a8", (
@@ -316,17 +326,22 @@ class Engine:
             def f(xx, _st=st, _pp=pp, _cs=cs0, _cf=cf0, _sv=saved0):
                 return _run_stage(layers, _st, _pp, xx, _cs, _cf,
                                   self.act_scales, _sv)[0]
-            t = per_iter_time(f, (x0,), iters_hi=iters[0],
-                              iters_lo=iters[1])
-            t = max(t, 1e-9)     # loop-difference noise on ~0-cost stages
+            if iters is not None:
+                s = per_iter_time_stats(f, (x0,), iters_hi=iters[0],
+                                        iters_lo=iters[1])
+            else:
+                s = per_iter_time_stats(f, (x0,))   # auto-scaled counts
+            t = max(s["min"], 1e-9)  # min-of-reps: uncontended kernel speed
             useful, executed = flops[si]
             gop = 2 * useful * batch / 1e9          # MACs -> ops
             gop_exec = 2 * executed * batch / 1e9
-            # loop-difference resolution floor: stages measuring under
-            # ~30 us are below what the relay-safe method resolves; their
-            # utilization ratios are meaningless (can exceed 100%), so
-            # mark them instead of reporting absurd numbers.
-            sub_res = t < 30e-6
+            # resolution floor: if the loop difference resolved <20 ms of
+            # device work (stage faster than the auto-scaler's max_iters
+            # can stretch, or fixed iters passed), utilization ratios are
+            # unreliable — mark them rather than reporting absurd numbers.
+            sub_res = s["delta_work_s"] < 0.02
+            mfu = round(roofline_pct(gop * 1e9, t, V5E_INT8_TOPS), 2)
+            hw = round(roofline_pct(gop_exec * 1e9, t, V5E_INT8_TOPS), 2)
             report.append({
                 "stage": si,
                 "name": f"L{st.conv_li}_{st.kind}"
@@ -335,11 +350,14 @@ class Engine:
                 "ms": round(t * 1e3, 4),
                 "gop": round(gop, 3),
                 "gop_exec": round(gop_exec, 3),
-                "mfu_pct": None if sub_res else round(
-                    roofline_pct(gop * 1e9, t, V5E_INT8_TOPS), 2),
-                "hw_util_pct": None if sub_res else round(
-                    roofline_pct(gop_exec * 1e9, t, V5E_INT8_TOPS), 2),
+                "mfu_pct": None if sub_res else mfu,
+                "hw_util_pct": None if sub_res else hw,
+                "noise_pct": round(s["spread_pct"], 1),
+                "iters": list(s["iters"]),
                 "sub_resolution": sub_res,
+                # physically impossible (>peak) utilization = the timing
+                # is wrong, not the kernel fast; flag loudly
+                "suspect": bool(sub_res or mfu > 100.0 or hw > 105.0),
             })
         return report
 

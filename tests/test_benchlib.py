@@ -64,6 +64,17 @@ def test_chained_loop_prevents_hoisting(rng):
     assert th > 1.8 * tl, (tl, th)
 
 
+def test_per_iter_time_stats_fields(rng):
+    from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time_stats
+    a = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
+    s = per_iter_time_stats(lambda x: x @ x, (a,), iters_hi=30, iters_lo=6,
+                            reps=3)
+    assert s["min"] > 0 and s["median"] >= s["min"]
+    assert s["spread_pct"] >= 0
+    assert s["iters"] == (30, 6)
+    assert abs(s["delta_work_s"] - s["min"] * 24) < 1e-12
+
+
 def test_wall_time_includes_sync(rng):
     x = jnp.ones((64, 64))
     t = wall_time(lambda a: a + 1, (x,), reps=3)

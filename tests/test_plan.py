@@ -233,3 +233,34 @@ def test_uint8_wire_format_matches_f32(rng):
     assert rms < 0.05, rms
     rel = np.abs(h1 - h2).max() / (np.abs(h2).max() + 1e-9)
     assert rel < 0.15, rel
+
+
+def test_uint8_wire_bit_exact_on_fold_xla_k2(rng):
+    """Plan-level BIT-EXACT wire-format pin (complements the tolerance
+    test above, so a requant/scale bug can't hide inside its 5% RMS
+    budget): with stage 0 forced to fold_xla_k2, the fused u8 ingestion
+    (quant_space_to_depth4 normalizes u/255 in-kernel, then quantizes at
+    the calibrated scale) computes the SAME math as the f32 path —
+    heads must be bit-identical."""
+    import jax
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    from dnn_inference_engine_tpu.runtime.plan import (
+        build_plan, plan_forward_w8a8, prepare_plan_params)
+    eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=2,
+                              input_size=64)
+                 ).load_weights(key=jax.random.PRNGKey(0)).prepare()
+    strat = {0: ("fold_xla_k2", 4, {"cin_pad": 64}),
+             2: ("fold_xla", 2), 4: ("fold_xla_k2", 2),
+             6: ("xla", 1), 8: ("xla", 1), 10: ("xla", 1),
+             12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1)}
+    plan = build_plan(eng.model, strat)
+    assert plan is not None
+    pp = prepare_plan_params(eng.model, eng.params, plan)
+    u8 = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    run = jax.jit(lambda x: plan_forward_w8a8(
+        eng.model, plan, pp, eng.act_scales, x))
+    h_u8 = np.asarray(run(jnp.asarray(u8)))
+    h_f32 = np.asarray(run(jnp.asarray(f32)))
+    np.testing.assert_array_equal(h_u8, h_f32)
