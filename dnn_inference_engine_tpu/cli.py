@@ -38,6 +38,9 @@ def _add_common(p):
                         "int32-psum row-parallel conv pair)")
     p.add_argument("--calib-images", default=None, metavar="DIR",
                    help="calibration image dir for w8a8 with real weights")
+    p.add_argument("--strategy", default=None, metavar="JSON",
+                   help="measured plan strategy from `plan-sweep` "
+                        "(overrides the built-in hand table)")
 
 
 def _build_engine(args):
@@ -54,6 +57,8 @@ def _build_engine(args):
     cfg.weights = args.weights or cfg.weights
     if getattr(args, "score_thresh", None) is not None:
         cfg.score_thresh = args.score_thresh
+    if getattr(args, "strategy", None):
+        cfg.strategy = args.strategy
     if getattr(args, "mesh", None):
         cfg.mesh_shape = tuple(int(v) for v in args.mesh.split(","))
         if getattr(args, "sharding", None):
@@ -210,6 +215,24 @@ def cmd_check_goldens(args):
     return 0
 
 
+def cmd_plan_sweep(args):
+    """Measure each conv layer's legal plan kinds and emit the fastest
+    strategy as JSON (SURVEY.md section 2.1; consumed via --strategy)."""
+    from dnn_inference_engine_tpu.runtime.plan_sweep import sweep
+    iters = tuple(int(v) for v in args.iters.split(","))
+    art = sweep(model_name=args.model, mode=args.mode, batch=args.batch,
+                input_size=args.input_size, quick=args.quick,
+                iters=iters, reps=args.reps, weights=args.weights,
+                calib=getattr(args, "calib_images", None))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(art, f, indent=2)
+        print(f"# wrote {args.out}")
+    print(json.dumps({k: art[k] for k in
+                      ("model", "mode", "batch", "input_size", "backend",
+                       "whole_net_ms", "images_per_s", "strategy")}))
+
+
 def cmd_calibrate(args):
     from dnn_inference_engine_tpu.preprocess import load_calib_images
     eng = _build_engine(args)
@@ -271,6 +294,20 @@ def main(argv=None):
     p.add_argument("--tol", type=float, default=0.15,
                    help="max per-layer relative RMS for quantized modes")
     p.set_defaults(fn=cmd_check_goldens)
+
+    p = sub.add_parser("plan-sweep",
+                       help="measure per-layer kernel strategies, emit "
+                            "the fastest as JSON (SURVEY.md 2.1)")
+    _add_common(p)
+    p.add_argument("--input-size", type=int, default=None)
+    p.add_argument("--out", default=None, help="write the artifact here")
+    p.add_argument("--quick", action="store_true",
+                   help="skip the long-shot candidates (gemm tier, "
+                        "unpadded folds, rs kinds)")
+    p.add_argument("--iters", default="60,10", metavar="HI,LO",
+                   help="loop-difference iteration counts per candidate")
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_plan_sweep)
 
     p = sub.add_parser("calibrate", help="calibrate activation scales")
     _add_common(p)

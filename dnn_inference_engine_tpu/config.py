@@ -96,6 +96,10 @@ class EngineConfig:
     # Paths
     weights: Optional[str] = None
     calib: Optional[str] = None
+    # Plan strategy: path to a `cli plan-sweep` artifact (or a bare
+    # {layer: [kind, fold, opts?]} JSON). When set, the fused plan uses
+    # the measured strategy instead of the built-in hand table.
+    strategy: Optional[str] = None
 
     @classmethod
     def from_json(cls, path: str) -> "EngineConfig":

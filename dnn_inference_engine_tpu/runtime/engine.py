@@ -96,7 +96,13 @@ class Engine:
         if mode in ("w8a8", "w8") and self.config.kernel == "auto":
             from dnn_inference_engine_tpu.runtime.plan import (
                 build_plan, prepare_plan_params)
-            self._plan = build_plan(self.model)
+            strategy = None
+            if self.config.strategy:
+                # measured strategy artifact (runtime/plan_sweep.py)
+                from dnn_inference_engine_tpu.runtime.plan_sweep import (
+                    load_strategy)
+                strategy = load_strategy(self.config.strategy)
+            self._plan = build_plan(self.model, strategy)
             if (mode == "w8" and self._plan is not None
                     and any(st.kind in ("rs", "s0") for st in self._plan)):
                 self._plan = None       # int8-kernel kinds: no w8 variant

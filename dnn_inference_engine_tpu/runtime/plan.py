@@ -258,7 +258,7 @@ def prepare_plan_params(model, qparams: Sequence[Dict],
     for st in stages:
         p = qparams[st.conv_li] if st.conv_li < len(qparams) else {}
         if st.kind == "s0":
-            from dnn_inference_engine_tpu.ops.pallas_stage0 import (
+            from dnn_inference_engine_tpu.ops.attic.pallas_stage0 import (
                 build_stage0_weights_v2)
             wv, _, _ = build_stage0_weights_v2(
                 np.asarray(p["wq"]), np.ones(16, np.float32),
@@ -547,8 +547,8 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
     # ---- conv stages ----
     if st.kind == "s0":
         # fused stem kernel: quantize + conv1 + pool + fold-2 emit in one
-        # HBM pass (ops/pallas_stage0.py); takes the raw f32 input
-        from dnn_inference_engine_tpu.ops.pallas_stage0 import stage0_fused_v2
+        # HBM pass (ops/attic/pallas_stage0.py, NON-PRODUCTION; kept for A/B)
+        from dnn_inference_engine_tpu.ops.attic.pallas_stage0 import stage0_fused_v2
         assert cur_scale is None and cur_fold == 1
         s_in = jnp.float32(act_scales[li])
         scale = jnp.tile(pp["s_w"], 4) * (s_in / s_next)

@@ -1,0 +1,119 @@
+"""Production-plan accuracy gate (round-2 verdict weak #7): the same
+pseudo-GT mAP + box-agreement machinery as test_accuracy_proxy.py, but
+run through THE CODE PATH SERVE RUNS — 416 px, kernel="auto" (the fused
+stem_rs / fold / exact-u8 plan), uint8 wire format — so a plan-level
+numerics regression fails a detection-quality metric, not just RMS
+tolerances.
+
+CPU CI keeps the image count minimal (the interpret-mode stem costs
+~20 s per 416px batch); the TPU lane (DIE_TPU_TESTS_ON_TPU=1) runs more
+images plus the negative control.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dnn_inference_engine_tpu.config import EngineConfig
+from dnn_inference_engine_tpu.eval.voc import voc_map, _iou_matrix
+from dnn_inference_engine_tpu.runtime.engine import Engine
+
+SIZE = 416
+ON_TPU = jax.default_backend() == "tpu"
+N_IMAGES = 8 if ON_TPU else 2
+SCORE_THRESH = 0.04
+GT_THRESH = 0.08
+
+
+def _engine(mode, kernel):
+    cfg = EngineConfig(model="yolov2-tiny", mode=mode, kernel=kernel,
+                       batch=N_IMAGES, input_size=SIZE,
+                       score_thresh=SCORE_THRESH)
+    return Engine(cfg).load_weights(key=jax.random.PRNGKey(0)).prepare()
+
+
+@pytest.fixture(scope="module")
+def images_u8():
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(77, 128, (N_IMAGES, SIZE, SIZE, 3))
+    for i in range(N_IMAGES):
+        for _ in range(10):
+            cy, cx = rng.integers(40, SIZE - 40, 2)
+            h, w = rng.integers(20, 90, 2)
+            col = rng.uniform(0, 255, 3)
+            imgs[i, max(0, cy - h):cy + h, max(0, cx - w):cx + w] = col
+    return np.clip(np.round(imgs), 0, 255).astype(np.uint8)
+
+
+def _dets(eng, x):
+    b, s, c = eng.detect(x)
+    out = []
+    for i in range(len(x)):
+        keep = s[i] > 0
+        out.append({"boxes": b[i][keep], "scores": s[i][keep],
+                    "classes": c[i][keep]})
+    return out
+
+
+@pytest.fixture(scope="module")
+def pseudo_gt(images_u8):
+    # fp32 reference consumes the same wire bytes (engine normalizes u8)
+    dets = _dets(_engine("fp32", "xla"), images_u8)
+    gt = []
+    for d in dets:
+        k = d["scores"] > GT_THRESH
+        gt.append({"boxes": d["boxes"][k], "classes": d["classes"][k]})
+    n = sum(len(g["classes"]) for g in gt)
+    assert n >= 12 * N_IMAGES / 2, f"pseudo-GT too sparse ({n})"
+    return gt
+
+
+@pytest.fixture(scope="module")
+def prod_engine():
+    eng = _engine("w8a8", "auto")
+    # this test exists to cover the PRODUCTION plan: stem_rs + folds +
+    # exact-u8 ingestion. If the default strategy changes, revisit.
+    from dnn_inference_engine_tpu.runtime.plan import plan_input_uint8_ok
+    assert eng._plan is not None and plan_input_uint8_ok(eng._plan)
+    return eng
+
+
+def test_production_plan_map_vs_fp32(images_u8, pseudo_gt, prod_engine):
+    """Healthy band: 0.870 measured on this seed for BOTH the generic
+    XLA w8a8 path (0.8710) and the production plan (0.8697) — the gap
+    to the 128px gate's 0.944 is the noise-calibration quantization
+    baseline at 416px, not a plan regression. Floor set a quantization
+    notch under both; the negative control fails at 0.17-grade scores."""
+    dets = _dets(prod_engine, images_u8)
+    mAP, _ = voc_map(dets, pseudo_gt, num_classes=20)
+    assert mAP > 0.80, (
+        f"production w8a8 plan (stem_rs/fold/exact-u8, uint8 wire) mAP "
+        f"vs fp32 pseudo-GT dropped to {mAP:.3f}")
+
+
+def test_production_plan_box_agreement(images_u8, pseudo_gt, prod_engine):
+    dets = _dets(prod_engine, images_u8)
+    matched = total = 0
+    for g, dq in zip(pseudo_gt, dets):
+        for box, cls in zip(g["boxes"], g["classes"]):
+            total += 1
+            same = dq["classes"] == cls
+            if not np.any(same):
+                continue
+            ious = _iou_matrix(box[None], dq["boxes"][same])[0]
+            if ious.size and ious.max() >= 0.6:
+                matched += 1
+    # measured 0.87-0.93 on this seed (same band as the generic path)
+    assert matched / total > 0.8, (matched, total)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="negative control doubles the "
+                    "interpret-mode stem cost on CPU; the 128px gate "
+                    "already proves teeth there — run on the TPU lane")
+def test_production_gate_catches_broken_quantization(images_u8, pseudo_gt):
+    eng = _engine("w8a8", "auto")
+    eng.act_scales = [s * 16.0 for s in eng.act_scales]
+    eng._detect_fn = None
+    dets = _dets(eng, images_u8)
+    mAP, _ = voc_map(dets, pseudo_gt, num_classes=20)
+    assert mAP < 0.5, f"broken scales still scored {mAP:.3f} — no teeth"

@@ -1,4 +1,4 @@
-"""Fused stage-0 kernel (ops/pallas_stage0.py) vs the plain-op reference
+"""Fused stage-0 kernel (ops/attic/pallas_stage0.py, NON-PRODUCTION) vs the plain-op reference
 chain quantize -> conv1 -> epilogue -> requant -> pool -> s2d(2).
 
 The kernel is experimental (not yet wired into plans: slower than the
@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dnn_inference_engine_tpu.ops.pallas_stage0 import (
+from dnn_inference_engine_tpu.ops.attic.pallas_stage0 import (
     stage0_fused, stage0_params)
 from dnn_inference_engine_tpu.ops.pallas_conv import space_to_depth
 from dnn_inference_engine_tpu.ops.pool import maxpool
@@ -61,7 +61,7 @@ def test_stage0_fused_v2_bit_exact(rng):
     """Shuffle-free v2 kernel (the variant plans wire in via the 's0'
     kind) vs the plain-op chain, at the full 416x416 production shape
     (multiple grid blocks + halos), pool-major fold-2 output layout."""
-    from dnn_inference_engine_tpu.ops.pallas_stage0 import (
+    from dnn_inference_engine_tpu.ops.attic.pallas_stage0 import (
         build_stage0_weights_v2, stage0_fused_v2)
 
     x = jnp.asarray(rng.uniform(0, 1, (1, 416, 416, 3)), jnp.float32)

@@ -1,4 +1,4 @@
-"""Batched shift-GEMM tail conv kernel (ops/pallas_tail.py): parity with
+"""Batched shift-GEMM tail conv kernel (ops/attic/pallas_tail.py, NON-PRODUCTION): parity with
 the XLA-tier W8A8 conv on the small-spatial production shapes.
 
 The kernel is benchmarked but not in the default plan: XLA's native int8
@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from dnn_inference_engine_tpu.ops.conv import conv2d_w8a8
-from dnn_inference_engine_tpu.ops.pallas_tail import conv2d_w8a8_bt
+from dnn_inference_engine_tpu.ops.attic.pallas_tail import conv2d_w8a8_bt
 
 
 def _close_int8(got, ref):
@@ -57,7 +57,7 @@ def test_bt_cout_split(rng):
     wq = jnp.asarray(rng.integers(-127, 128, (3, 3, 128, 512)), jnp.int8)
     s_w = jnp.asarray(rng.uniform(1e-3, 1e-2, 512), jnp.float32)
     b = jnp.asarray(rng.standard_normal(512), jnp.float32)
-    from dnn_inference_engine_tpu.ops.pallas_tail import conv3x3_bt
+    from dnn_inference_engine_tpu.ops.attic.pallas_tail import conv3x3_bt
     scale = (jnp.float32(0.02) * s_w) / 0.06
     bias = b / 0.06
     got = conv3x3_bt(xq, wq, scale, bias, quantize_out=True, tn=128)

@@ -133,7 +133,7 @@ def test_resnet18_plan_matches_generic(rng):
 
 
 def test_s0_strategy_kind(rng):
-    """The 's0' fused-stem strategy kind (ops/pallas_stage0.py) is plan-
+    """The 's0' fused-stem strategy kind (ops/attic/pallas_stage0.py) is plan-
     selectable and matches the default plan's numerics."""
     from dnn_inference_engine_tpu.runtime.plan import _YOLOV2_STRATEGY
     model = yolov2_tiny()
