@@ -451,6 +451,134 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     )(xblk, halo, wmat, scale2, bias2, s)
 
 
+def _stem_dg_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
+                    o_ref, *, ht, w4, wout, act, go, coutf,
+                    exact_u8=False):
+    """Transpose-free fused stem: per-tap ``dot_general`` contracting the
+    SUBLANE (folded-channel) axis directly.
+
+    Same contract as _stem_k2_kernel, different GEMM formulation: instead
+    of transposing folded rows and assembling an (ht*wout, 4*cin) A_cat
+    scratch, each of the 4 (dh, dw) taps contracts the interleaved input
+    view (ht, 48, wout-lanes) against its (48, coutf) weight slab —
+    lhs dim 1 x rhs dim 0 — and the 4 int32 results accumulate. No
+    in-kernel transposes, no A_cat scratch, no K-padding (the k2 path
+    pads K 192->256, wasting 25% of its MXU work).
+    """
+    def quant(xv):
+        if exact_u8:
+            return jnp.bitwise_xor(xv, jnp.uint8(0x80)).view(jnp.int8)
+        if xv.dtype == jnp.uint8:
+            iv = xv.view(jnp.int8).astype(jnp.int32)
+            iv = jnp.where(iv < 0, iv + 256, iv)
+            xv = iv.astype(jnp.float32) / 255.0
+        return jnp.clip(jnp.round(xv / s_ref[0, 0]),
+                        -QMAX, QMAX).astype(jnp.int8)
+
+    xq = jnp.concatenate([quant(xb_ref[0]), quant(halo_ref[0, 0])], axis=0)
+    acc = None
+    for dh in (0, 1):
+        lhs = jax.lax.slice(
+            xq, (48 * dh, 0), (48 * (dh + ht), w4)).reshape(ht, 48, w4)
+        for dw in (0, 1):
+            lhs2 = jax.lax.slice(lhs, (0, 0, dw), (ht, 48, dw + wout))
+            a = jax.lax.dot_general(
+                lhs2, w_ref[dh * 2 + dw],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # (ht, wout, coutf)
+            acc = a if acc is None else acc + a
+    # group-max FIRST on the int32 accumulator (see _stem_k2_kernel)
+    acc = jnp.maximum(
+        jnp.maximum(jax.lax.slice(acc, (0, 0, 0), (ht, wout, go)),
+                    jax.lax.slice(acc, (0, 0, go), (ht, wout, 2 * go))),
+        jnp.maximum(jax.lax.slice(acc, (0, 0, 2 * go), (ht, wout, 3 * go)),
+                    jax.lax.slice(acc, (0, 0, 3 * go), (ht, wout, 4 * go))))
+    y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+    if act == "leaky":
+        y = jnp.where(y > 0, y, LEAKY_SLOPE * y)
+    elif act == "relu":
+        y = jnp.maximum(y, 0.0)
+    y = jnp.clip(jnp.round(y), -QMAX, QMAX)
+    o_ref[:] = y.astype(jnp.int8)[None]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "ht", "exact_u8", "interpret"))
+def stem_fused_dg(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
+                  bias: jnp.ndarray, s_in,
+                  act: str = "leaky", ht: int = 0, exact_u8: bool = False,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """stem_fused_k2 with the transpose-free dot_general formulation
+    (_stem_dg_kernel). Identical contract and numerics; any cin_pad
+    columns of ``w`` are dropped (their input channels are zero).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    f = 4
+    n, h, wd, c = x.shape
+    assert c == 3 and h % 8 == 0 and wd % 8 == 0, x.shape
+    assert x.dtype in (jnp.float32, jnp.uint8), x.dtype
+    assert not exact_u8 or x.dtype == jnp.uint8
+    cin, coutf = int(w.shape[2]), int(w.shape[3])
+    assert w.shape[:2] == (2, 2) and cin >= 48 and coutf % 4 == 0
+    go = coutf // 4
+    hout, wout = h // f, wd // f
+    xp = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1), (0, 0)))
+    hp, w4 = h + 2 * f, (wd + 2 * f) // f
+    xt = xp.reshape(n, hp, w4, 12).transpose(0, 1, 3, 2).reshape(
+        n, hp * 12, w4)
+    if not ht:
+        for cand in (13, 26, 52, 8, 4, 2, 1):
+            if hout % cand == 0 and cand * wout * 8 * coutf < 13_000_000:
+                ht = cand
+                break
+        if not ht:
+            raise ValueError(
+                f"stem_fused_dg: no row-block height fits VMEM for "
+                f"hout={hout}, wout={wout}, cout={coutf}")
+    assert hout % ht == 0, (hout, ht)
+    nb = hout // ht
+    xblk = xt[:, :48 * hout]
+    halo = jnp.stack([xt[:, 48 * ht * (i + 1):48 * ht * (i + 1) + 48]
+                      for i in range(nb)], axis=1)   # (N, nb, 48, w4)
+    # (4, 48, coutf) per-tap weight slabs; rows >= 48 are the cin_pad
+    # zero channels — dropped (their input lanes don't exist here)
+    wtap = jnp.asarray(w)[:, :, :48, :].reshape(4, 48, coutf)
+    scale2 = scale.astype(jnp.float32)[:go].reshape(1, go)
+    bias2 = bias.astype(jnp.float32)[:go].reshape(1, go)
+    s = jnp.asarray(s_in, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(_stem_dg_kernel, ht=ht, w4=w4, wout=wout,
+                          act=act, go=go, coutf=coutf, exact_u8=exact_u8),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, 48 * ht, w4), lambda nn, ii: (nn, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 48, w4), lambda nn, ii: (nn, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 48, coutf), lambda nn, ii: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, go), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, go), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda nn, ii: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, wout, go),
+                               lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hout, wout, go), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * hout * wout * 4 * 48 * coutf,
+            bytes_accessed=int(xblk.size * xblk.dtype.itemsize
+                               + halo.size * halo.dtype.itemsize
+                               + wtap.size + n * hout * wout * go),
+            transcendentals=0),
+        interpret=interpret,
+    )(xblk, halo, wtap, scale2, bias2, s)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------

@@ -75,6 +75,7 @@ class Stage:
 
 _CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
                "rs": "rs", "rs2": "rs", "stem_rs": "stem_rs",
+               "stem_dg": "stem_dg",
                "xla": "xla", "gemm": "gemm", "auto": "auto", "s0": "s0"}
 
 # measured-fastest strategy for YOLOv2-tiny @ batch 32 on v5e.
@@ -220,7 +221,7 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             stages.append(Stage(
                 kind=_CONV_KINDS[kind],
                 conv_li=li, pool_li=pool_li, fold=fold,
-                k=2 if kind in ("rs2", "fold_xla_k2", "stem_rs") else 3,
+                k=2 if kind in ("rs2", "fold_xla_k2", "stem_rs", "stem_dg") else 3,
                 s2d_out=opts.get("s2d_out", False),
                 cin_pad=opts.get("cin_pad", 0), act=layer.act,
                 stride=layer.stride, padding=layer.padding,
@@ -381,7 +382,7 @@ def plan_input_uint8_ok(stages: Sequence[Stage]) -> bool:
     in-kernel) — the engine then skips the separate /255 normalize and
     the f32 materialization of the input batch."""
     st = stages[0]
-    return (st.kind in ("fold_xla", "fold_xla_k2", "stem_rs")
+    return (st.kind in ("fold_xla", "fold_xla_k2", "stem_rs", "stem_dg")
             and st.fold == 4)
 
 
@@ -451,7 +452,7 @@ def plan_forward_w8(model, stages: Sequence[Stage],
                 w = pp["wq"].astype(jnp.float32) * pp["s_w"]
                 x = apply_activation(
                     x.astype(jnp.float32) @ w + pp["b"], st.act)
-            elif st.kind in ("fold_xla_k2", "stem_rs"):
+            elif st.kind in ("fold_xla_k2", "stem_rs", "stem_dg"):
                 # stem_rs is the int8 fused-stem Pallas kind; its stage
                 # params are identical to fold_xla_k2's, and this bf16
                 # XLA chain is its w8 counterpart.
@@ -555,13 +556,16 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         bias = jnp.tile(pp["b"], 4) / s_next
         x = stage0_fused_v2(x, pp["wv"], scale, bias, s_in, act=st.act)
         return x, s_next, 2
-    if st.kind == "stem_rs":
+    if st.kind in ("stem_rs", "stem_dg"):
         # whole stage-0 in ONE Pallas kernel: quantize (uint8 wire or
         # f32) + shifted s2d(4) + 2x2 folded conv + epilogue/requant +
         # pool-major group-max (ops/pallas_conv.py::stem_fused_k2). Same
         # contract as fold_xla_k2 below but the folded input and the
-        # pre-gmax tensor never round-trip HBM.
-        from dnn_inference_engine_tpu.ops.pallas_conv import stem_fused_k2
+        # pre-gmax tensor never round-trip HBM. stem_dg is the same
+        # contract via the transpose-free dot_general formulation.
+        from dnn_inference_engine_tpu.ops.pallas_conv import (
+            stem_fused_dg, stem_fused_k2)
+        stem_fn = stem_fused_dg if st.kind == "stem_dg" else stem_fused_k2
         assert cur_fold == 1 and cur_scale is None and st.fold == 4, st
         assert not st.s_out_is_final, st
         s_out = s_next
@@ -580,13 +584,13 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                 jnp.float32).sum(axis=0)
             scale = (s_in * pp["s_w"]) / s_out
             bias = (pp["b"] + 128.0 * s_in * pp["s_w"] * w1) / s_out
-            x = stem_fused_k2(x, pp["wq"], scale, bias, s_in,
-                              act=st.act, exact_u8=True)
+            x = stem_fn(x, pp["wq"], scale, bias, s_in,
+                        act=st.act, exact_u8=True)
         else:
             s_in = jnp.float32(act_scales[li])
             scale = (s_in * pp["s_w"]) / s_out
             bias = pp["b"] / s_out
-            x = stem_fused_k2(x, pp["wq"], scale, bias, s_in, act=st.act)
+            x = stem_fn(x, pp["wq"], scale, bias, s_in, act=st.act)
         return x, s_out, st.fold // 2
     if st.kind == "fold_xla_k2":
         # shifted-fold k2 formulation via XLA conv: a 2x2 VALID conv over

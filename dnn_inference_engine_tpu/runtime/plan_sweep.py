@@ -91,6 +91,7 @@ def candidate_entries(model, li: int, mode: str,
                       ("fold_xla", 4, {"cin_pad": 64})]
             if int8_ok:
                 cands.append(("stem_rs", 4, {"cin_pad": 64}))
+                cands.append(("stem_dg", 4))
             if not quick:
                 cands.append(("fold_xla_k2", 4))
         else:

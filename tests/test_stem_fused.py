@@ -83,6 +83,31 @@ def test_stem_fused_k2_uint8_wire(rng):
     assert_int8_1lsb(got, ref)
 
 
+@pytest.mark.parametrize("shape", [(2, 64, 64), (1, 416, 416)])
+def test_stem_fused_dg_matches_k2(rng, shape):
+    """The transpose-free dot_general formulation must be BIT-IDENTICAL
+    to stem_fused_k2: same int32 accumulation (order-independent), same
+    one-step f32 epilogue."""
+    from dnn_inference_engine_tpu.ops.pallas_conv import stem_fused_dg
+    n, h, wd = shape
+    x = jnp.asarray(rng.uniform(0, 1, (n, h, wd, 3)), jnp.float32)
+    w = rng.normal(size=(3, 3, 3, 16)).astype(np.float32) * 0.2
+    wq, s_w = quantize_weights_per_channel(jnp.asarray(w))
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32) * 0.1
+    s_in, s_out = 0.00787, 0.05
+    wf, scale, bias = _stem_args(rng, wq, s_w, b, s_in, s_out, 64)
+    ref = stem_fused_k2(x, wf, scale, bias, jnp.float32(s_in))
+    got = stem_fused_dg(x, wf, scale, bias, jnp.float32(s_in))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # uint8 wire + exact ingestion path
+    xu = rng.integers(0, 256, (n, h, wd, 3)).astype(np.uint8)
+    ref_u = stem_fused_k2(jnp.asarray(xu), wf, scale, bias,
+                          jnp.float32(s_in), exact_u8=True)
+    got_u = stem_fused_dg(jnp.asarray(xu), wf, scale, bias,
+                          jnp.float32(s_in), exact_u8=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(ref_u))
+
+
 def test_stem_rs_plan_stage_matches_fold_xla_k2(rng):
     """The stem_rs plan kind reproduces the fold_xla_k2 stage end-to-end
     through plan_forward_w8a8 (whole-model run on YOLOv2-tiny @ 64px)."""
@@ -112,6 +137,8 @@ def test_stem_rs_plan_stage_matches_fold_xla_k2(rng):
     # downstream layers re-quantize; 1-LSB stem flips can grow slightly
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 0.02, rel
+    # the dot_general stem kind is bit-identical to stem_rs end-to-end
+    np.testing.assert_array_equal(run("stem_dg"), got)
 
 
 def test_stem_fused_k2_exact_u8(rng):
