@@ -111,18 +111,23 @@ def cmd_layer_times(args):
         # fused-plan config: time the EXECUTED stages with roofline %
         # (SURVEY.md N4). layer_times would time the generic ops the
         # plan does not run.
+        iters = (tuple(int(v) for v in args.iters.split(","))
+                 if args.iters else None)
         print(f"# per-stage steady-state times of the executed plan, "
-              f"batch={args.batch}")
+              f"batch={args.batch}"
+              + (" (auto-scaled iteration counts)" if iters is None else ""))
         print(f"{'stage':>5s} {'name':18s} {'ms':>9s} {'GOP':>8s} "
-              f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s}")
+              f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s} {'noise%':>7s}")
         total = 0.0
-        for r in eng.stage_times(batch=args.batch):
+        for r in eng.stage_times(batch=args.batch, iters=iters):
             mfu = ("  <res." if r["mfu_pct"] is None
                    else f"{r['mfu_pct']:7.2f}")
             hwu = ("   <res." if r["hw_util_pct"] is None
                    else f"{r['hw_util_pct']:8.2f}")
+            sus = "  SUSPECT" if r["suspect"] else ""
             print(f"{r['stage']:5d} {r['name']:18s} {r['ms']:9.4f} "
-                  f"{r['gop']:8.3f} {r['gop_exec']:8.3f} {mfu} {hwu}")
+                  f"{r['gop']:8.3f} {r['gop_exec']:8.3f} {mfu} {hwu} "
+                  f"{r['noise_pct']:7.1f}{sus}")
             total += r["ms"]
         print(f"# TOTAL stages {total:.4f} ms")
         return
@@ -260,6 +265,10 @@ def main(argv=None):
 
     p = sub.add_parser("layer-times", help="per-layer timing report (E2)")
     _add_common(p)
+    p.add_argument("--iters", default=None, metavar="HI,LO",
+                   help="fixed loop-difference counts (quick but noisy); "
+                        "default auto-scales per stage for roofline-grade "
+                        "fidelity")
     p.set_defaults(fn=cmd_layer_times)
 
     p = sub.add_parser("eval", help="VOC mAP evaluation")

@@ -358,7 +358,7 @@ class Engine:
                 "gop_exec": round(gop_exec, 3),
                 "mfu_pct": None if sub_res else mfu,
                 "hw_util_pct": None if sub_res else hw,
-                "noise_pct": round(s["spread_pct"], 1),
+                "noise_pct": round(min(s["spread_pct"], 999.9), 1),
                 "iters": list(s["iters"]),
                 "sub_resolution": sub_res,
                 # physically impossible (>peak) utilization = the timing

@@ -1,0 +1,103 @@
+"""Attribute the stage-sum vs whole-net gap (round-2 verdict weak #3).
+
+``Engine.stage_times`` times each plan stage in ISOLATION on its real
+input state; the whole-net time can exceed the stage sum when XLA
+inserts inter-stage relayouts or fuses differently in the full program.
+This tool times jitted PREFIXES of the plan (stages [0..k) chained, the
+production uint8 input): the delta between prefix k and prefix k-1 is
+stage k's cost IN CONTEXT, and (prefix_delta - isolated_time) per stage
+localizes the gap to specific stage boundaries.
+
+Run on TPU:  python tools/gap_attrib.py [--batch 32] [--model yolov2-tiny]
+Prints a per-stage table and writes docs/GAP_ATTRIB.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov2-tiny")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", default="60,10")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="docs/GAP_ATTRIB.json")
+    args = ap.parse_args()
+    hi, lo = (int(v) for v in args.iters.split(","))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    from dnn_inference_engine_tpu.runtime.plan import (
+        _referenced_layers, _run_stage, plan_input_uint8_ok)
+
+    eng = Engine(EngineConfig(model=args.model, mode="w8a8", kernel="auto",
+                              batch=args.batch)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    plan, pp, scales = eng._plan, eng._plan_params, eng.act_scales
+    model = eng.model
+    layers, refs = model.layers, _referenced_layers(model)
+    s = eng.config.input_size
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(0, 1, (args.batch, s, s, 3)).astype(np.float32)
+    if plan_input_uint8_ok(plan):
+        x0 = np.clip(np.round(x0 * 255), 0, 255).astype(np.uint8)
+    x0 = jnp.asarray(x0)
+
+    def make_prefix(k):
+        def f(x):
+            cur_scale, cur_fold = None, 1
+            saved = {}
+            for si, st in enumerate(plan[:k]):
+                x, cur_scale, cur_fold = _run_stage(
+                    layers, st, pp[si], x, cur_scale, cur_fold, scales,
+                    saved)
+                out_li = st.pool_li if st.pool_li is not None else st.conv_li
+                if out_li in refs:
+                    from dnn_inference_engine_tpu.ops.pallas_conv import (
+                        depth_to_space)
+                    t = depth_to_space(x, cur_fold) if cur_fold > 1 else x
+                    saved[out_li] = (t, cur_scale)
+            return x
+        return f
+
+    # isolated stage times (the stage_times artifact, auto-scaled)
+    iso = eng.stage_times(batch=args.batch)
+
+    rows, prev = [], 0.0
+    for k in range(1, len(plan) + 1):
+        t = per_iter_time(make_prefix(k), (x0,), iters_hi=hi, iters_lo=lo,
+                          reps=args.reps, stat="min")
+        delta_ms = (t - prev) * 1e3
+        iso_ms = iso[k - 1]["ms"]
+        rows.append({
+            "stage": k - 1, "name": iso[k - 1]["name"],
+            "prefix_ms": round(t * 1e3, 4),
+            "in_context_ms": round(delta_ms, 4),
+            "isolated_ms": iso_ms,
+            "boundary_overhead_ms": round(delta_ms - iso_ms, 4),
+        })
+        prev = t
+        print(f"stage {k-1:2d} {rows[-1]['name']:20s} prefix "
+              f"{t*1e3:8.3f}  in-ctx {delta_ms:7.3f}  iso {iso_ms:7.3f}  "
+              f"gap {delta_ms - iso_ms:+7.3f}", flush=True)
+    total_iso = sum(r["isolated_ms"] for r in rows)
+    out = {"model": args.model, "batch": args.batch,
+           "whole_net_ms": rows[-1]["prefix_ms"],
+           "stage_sum_ms": round(total_iso, 4),
+           "gap_ms": round(rows[-1]["prefix_ms"] - total_iso, 4),
+           "stages": rows}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"whole-net {out['whole_net_ms']} ms, stage-sum "
+          f"{out['stage_sum_ms']} ms, gap {out['gap_ms']} ms -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
