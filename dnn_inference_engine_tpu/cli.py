@@ -150,15 +150,29 @@ def cmd_eval(args):
 
 def cmd_serve(args):
     from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
-    if args.num_processes and args.num_processes > 1:
-        # multi-host bring-up (BASELINE config 4): overlap flags + the
+    multi = bool(args.num_processes and args.num_processes > 1)
+    if multi:
+        # multi-host bring-up (BASELINE configs 4/5): overlap flags + the
         # jax.distributed runtime, one server process per host
         from dnn_inference_engine_tpu.parallel.mesh import init_distributed
         init_distributed(coordinator=args.coordinator,
                          num_processes=args.num_processes,
                          process_id=args.process_id)
     eng = _build_engine(args)
-    batcher = ContinuousBatcher(eng).start()
+    if multi:
+        import jax
+        from dnn_inference_engine_tpu.runtime.serve_distributed import (
+            DistributedBatcher, follower_loop)
+        if jax.process_index() != 0:
+            # follower host: mirror the leader's lockstep steps forever
+            print(f"# follower process {jax.process_index()}: serving "
+                  "lockstep steps (no HTTP)", flush=True)
+            served = follower_loop(eng)
+            print(f"# follower exiting after {served} batches")
+            return
+        batcher = DistributedBatcher(eng).start()
+    else:
+        batcher = ContinuousBatcher(eng).start()
     batcher.serve_http(args.port)
     mesh_note = (f" mesh={eng.config.mesh_shape} {eng.config.sharding}"
                  if eng.mesh is not None else "")
