@@ -73,3 +73,21 @@ def test_sweep_quick_cpu_and_engine_consumption(tmp_path):
 def test_sweep_rejects_fp32():
     with pytest.raises(ValueError, match="plan-sweep"):
         sweep(mode="fp32")
+
+
+def test_committed_tpu_sweep_artifact_matches_default_strategy():
+    """docs/SWEEP_yolov2_w8a8_b32.json (measured on v5e) must agree with
+    the built-in hand table — the table is now a cached measurement, and
+    this pins them together so silent drift in either fails CI."""
+    import os
+    from dnn_inference_engine_tpu.runtime.plan import _YOLOV2_STRATEGY
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "SWEEP_yolov2_w8a8_b32.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["backend"] == "tpu", art["backend"]
+    measured = {int(k): tuple(v[:2]) for k, v in art["strategy"].items()}
+    table = {k: tuple(v[:2]) for k, v in _YOLOV2_STRATEGY.items()}
+    assert measured == table, (measured, table)
+    # and the artifact's headline is in the plausible band for the chip
+    assert art["images_per_s"] > 12_000, art["images_per_s"]
