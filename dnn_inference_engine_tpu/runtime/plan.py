@@ -117,6 +117,15 @@ _YOLOV2_STRATEGY = {
     #   pallas rs tier LOSES here ((104,104,64)x128: 1.15 ms vs 0.10-0.17
     #   XLA; (52,52,128)x256: 0.55-0.60 vs 0.40-0.42) — XLA's int8 conv
     #   emitter wins at MXU-dense mid-net shapes, keep it.
+    # Round-3 NEGATIVE RESULT (tools/ab_stem.py, interleaved min A/B on
+    # v5e batch 32, uint8 wire): the transpose-free dot_general stem
+    # (stem_dg: 4 per-tap sublane-contracting GEMMs, no A_cat scratch,
+    # no K 192->256 pad) measures 0.762 ms stage-0 / 2.22-2.25 ms
+    # whole-net vs stem_rs's 0.724 / 2.18-2.19 — the in-kernel
+    # transposes were NOT the limiter (Mosaic relayouts the sublane
+    # contraction internally; 4 K=48 GEMMs underfill the MXU vs one
+    # K=256). Both land ~12% HW-util; the stage is VPU/issue-bound.
+    # stem_dg stays selectable so plan-sweep keeps re-measuring it.
     0: ("stem_rs", 4, {"cin_pad": 64}),
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
     4: ("fold_xla_k2", 2),  # conv3 shifted-k2 f2 (absorbs the slow pool)

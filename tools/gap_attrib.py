@@ -16,6 +16,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -24,6 +28,9 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", default="60,10")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--stage-iters", default=None, metavar="HI,LO",
+                    help="fixed counts for the isolated stage_times pass "
+                         "(default auto-scaled)")
     ap.add_argument("--out", default="docs/GAP_ATTRIB.json")
     args = ap.parse_args()
     hi, lo = (int(v) for v in args.iters.split(","))
@@ -67,8 +74,11 @@ def main():
             return x
         return f
 
-    # isolated stage times (the stage_times artifact, auto-scaled)
-    iso = eng.stage_times(batch=args.batch)
+    # isolated stage times (the stage_times artifact; auto-scaled unless
+    # --stage-iters given for a quicker, noisier run)
+    si = (tuple(int(v) for v in args.stage_iters.split(","))
+          if args.stage_iters else None)
+    iso = eng.stage_times(batch=args.batch, iters=si)
 
     rows, prev = [], 0.0
     for k in range(1, len(plan) + 1):
