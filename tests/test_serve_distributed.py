@@ -27,6 +27,41 @@ def _free_port() -> int:
     return port
 
 
+def test_distributed_batcher_single_process_degenerates():
+    """With process_count == 1 the lockstep batcher must behave exactly
+    like the plain batcher (broadcast of one process is the identity;
+    the replicator is an all-gather over 'data' on the local mesh)."""
+    import jax
+    import numpy as np
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+    from dnn_inference_engine_tpu.runtime.serve_distributed import (
+        DistributedBatcher)
+
+    eng = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
+                              kernel="auto", input_size=64,
+                              serve_max_batch=4, mesh_shape=(4, 2),
+                              sharding="channel")).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+            for _ in range(6)]
+    ref = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
+                              kernel="auto", input_size=64, batch=1)
+                 ).load_weights(key=jax.random.PRNGKey(0)).prepare()
+    b = DistributedBatcher(eng).start()
+    try:
+        results = [f.result(timeout=300)
+                   for f in [b.submit(img) for img in imgs]]
+    finally:
+        b.stop()
+    for i, ((boxes, scores, classes), img) in enumerate(zip(results, imgs)):
+        rb, rs, rc = ref.detect(img[None])
+        np.testing.assert_allclose(boxes, rb[0], rtol=1e-5, atol=1e-5,
+                                   err_msg=f"img {i}")
+        np.testing.assert_array_equal(classes, rc[0])
+
+
 def test_two_process_distributed_serve():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
