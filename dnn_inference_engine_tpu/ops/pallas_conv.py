@@ -451,6 +451,73 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     )(xblk, halo, wmat, scale2, bias2, s)
 
 
+def _shift_s2d2_kernel(xb_ref, o_ref, *, ht, wp, c):
+    """One output row y packs input rows (2y, 2y+1) of the padded
+    tensor: out[y, x, (p*2+q)*c + ch] = xpad[2y+p, 2x+q, ch]. The
+    column-parity extraction is the Mosaic-safe flatten-reshape-index
+    form (_parity_extract); rows pair exactly (stride 2, 2 taps), so
+    blocks of ht output rows read exactly 2*ht input rows — no halo,
+    no transposes, pure VMEM data movement."""
+    w2 = wp // 2
+    for y in range(ht):
+        for p in (0, 1):
+            row = xb_ref[0, 2 * y + p]                     # (wp, c)
+            for q in (0, 1):
+                piece = row.reshape(w2, 2, c)[:, q]        # (w2, c)
+                o_ref[0, y, :, (p * 2 + q) * c:(p * 2 + q + 1) * c] = piece
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def shift_s2d2_pallas(x: jnp.ndarray, ht: int = 0,
+                      interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused pad + SHIFTED space_to_depth(2) in one Pallas pass:
+    (N, H, W, C) int8 -> (N, H/2+1, W/2+1, 4C), identical to
+    ``space_to_depth(jnp.pad(x, ((0,0),(1,3),(1,3),(0,0)))[:, :H+2, :W+2], 2)``
+    — i.e. the exact input layout the fold_xla_k2 f=2 stage consumes
+    (1 SAME-halo row/col top/left, 1 block-completing zero row/col
+    bottom/right).
+
+    Motivation (round-3 gap attribution, docs/GAP_ATTRIB.json): the XLA
+    pad+reshape+transpose chain for this relayout costs ~0.27 ms in
+    context at (32,104,104,32) on v5e — the single largest boundary
+    overhead in the executed plan — while the data movement floor is
+    ~30 us. This kernel is pure VMEM movement: no transposes (channels
+    stay lanes), no halo (stride-2 row pairs tile exactly).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, c = x.shape
+    assert h % 2 == 0 and wd % 2 == 0, x.shape
+    hout, wout = h // 2 + 1, wd // 2 + 1
+    # pad: 1 top/left halo + 1 bottom/right to complete blocks
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wp = wd + 2
+    if not ht:
+        for cand in (27, 18, 9, 6, 3, 2, 1):
+            if hout % cand == 0 and cand * wp * c * 6 < 8_000_000:
+                ht = cand
+                break
+    assert ht and hout % ht == 0, (hout, ht)
+    return pl.pallas_call(
+        functools.partial(_shift_s2d2_kernel, ht=ht, wp=wp, c=c),
+        grid=(n, hout // ht),
+        in_specs=[
+            pl.BlockSpec((1, 2 * ht, wp, c), lambda nn, ii: (nn, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, wout, 4 * c),
+                               lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hout, wout, 4 * c), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=int(2 * n * hout * wout * 4 * c
+                               * x.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(xp)
+
+
 def _stem_dg_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                     o_ref, *, ht, w4, wout, act, go, coutf,
                     exact_u8=False):

@@ -73,6 +73,11 @@ class Stage:
     s_out_is_final: bool = False
 
 
+# A/B toggle for the one-pass Pallas shift-s2d(2) feeding chained
+# fold_xla_k2 f=2 stages (see that branch in _run_stage); module-level so
+# benchmarks can interleave both paths in one process.
+USE_SHIFT_S2D2_KERNEL = True
+
 _CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
                "rs": "rs", "rs2": "rs", "stem_rs": "stem_rs",
                "stem_dg": "stem_dg",
@@ -613,6 +618,7 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         f = st.fold
         assert cur_fold == 1 and not st.s_out_is_final, st
         s_out = s_next
+        trim = 2          # junk rows/cols of the 2f-1 pad, sliced post-conv
         if cur_scale is None:
             cur_scale = jnp.float32(act_scales[li])
             fused_ok = (f == 4 and x.shape[-1] == 3
@@ -634,11 +640,26 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                                 (0, 0)))
                 x = space_to_depth(x, f)
         else:
-            x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1), (0, 0)))
-            x = space_to_depth(x, f)
+            if USE_SHIFT_S2D2_KERNEL and f == 2 and x.dtype == jnp.int8 \
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                # one-pass Pallas shift-s2d(2): round-3 gap attribution
+                # (docs/GAP_ATTRIB.json) measured the XLA pad+s2d chain
+                # at ~0.27 ms in context here — the plan's largest
+                # boundary overhead. The kernel emits (H/2+1, W/2+1)
+                # with no junk trailing block, so the VALID conv output
+                # spatial is exact (input-1) and needs no slice.
+                from dnn_inference_engine_tpu.ops.pallas_conv import (
+                    shift_s2d2_pallas)
+                x = shift_s2d2_pallas(x)
+                trim = 1
+            else:
+                x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
+                                (0, 0)))
+                x = space_to_depth(x, f)
+                trim = 2
         if st.cin_pad and x.shape[-1] < st.cin_pad:
             x = jnp.pad(x, ((0, 0),) * 3 + ((0, st.cin_pad - x.shape[-1]),))
-        ho, wo = x.shape[1] - 2, x.shape[2] - 2
+        ho, wo = x.shape[1] - trim, x.shape[2] - trim
         y = jax.lax.conv_general_dilated(
             x, pp["wq"], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
