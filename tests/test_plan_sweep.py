@@ -55,7 +55,9 @@ def test_sweep_quick_cpu_and_engine_consumption(tmp_path):
     path.write_text(json.dumps(art))
 
     strat = load_strategy(str(path))
-    assert strat[0][0] in ("xla", "stem_rs", "fold_xla_k2", "fold_xla")
+    # every legal entry kind for layer 0 — CPU timings pick any of them
+    assert strat[0][0] in ("xla", "gemm", "stem_rs", "stem_dg",
+                           "fold_xla_k2", "fold_xla")
 
     eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=2,
                               input_size=64, strategy=str(path))
