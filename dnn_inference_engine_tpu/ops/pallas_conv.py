@@ -451,31 +451,40 @@ def stem_fused_k2(x: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray,
     )(xblk, halo, wmat, scale2, bias2, s)
 
 
-def _shift_s2d2_kernel(xb_ref, o_ref, *, ht, wp, c):
+def _shift_s2d2_kernel(xb_ref, o_ref, *, ht, w2, c):
     """One output row y packs input rows (2y, 2y+1) of the padded
-    tensor: out[y, x, (p*2+q)*c + ch] = xpad[2y+p, 2x+q, ch]. The
-    column-parity extraction is the Mosaic-safe flatten-reshape-index
-    form (_parity_extract); rows pair exactly (stride 2, 2 taps), so
-    blocks of ht output rows read exactly 2*ht input rows — no halo,
-    no transposes, pure VMEM data movement."""
-    w2 = wp // 2
-    for y in range(ht):
-        for p in (0, 1):
-            row = xb_ref[0, 2 * y + p]                     # (wp, c)
-            for q in (0, 1):
-                piece = row.reshape(w2, 2, c)[:, q]        # (w2, c)
-                o_ref[0, y, :, (p * 2 + q) * c:(p * 2 + q + 1) * c] = piece
+    tensor: out[y, x, (p*2+q)*c + ch] = xpad[2y+p, 2x+q, ch].
+
+    The input block arrives with adjacent column PAIRS merged into the
+    lane dim — (2ht, w2, 2c), a free row-major XLA reshape outside the
+    kernel — so the column-parity extraction is a plain lane slice.
+    The row-parity reshape splits the LEADING dim only. Both in-kernel
+    sublane-splitting forms were TPU-verified REJECTED by Mosaic's
+    tpu.reshape: `(1x1x106x32)->(53x2x32)` (2D sublane split) and
+    `(28x1x106x32)->(1484x2x32)` (flatten-then-split with c=32 lanes).
+    Rows pair exactly (stride 2, 2 taps), so blocks of ht output rows
+    read exactly 2*ht input rows — no halo, no transposes, pure VMEM
+    data movement."""
+    xw = xb_ref[0]                                         # (2ht, w2, 2c)
+    for p in (0, 1):
+        rows = xw.reshape(ht, 2, w2, 2 * c)[:, p]          # (ht, w2, 2c)
+        for q in (0, 1):
+            o_ref[0, :, :, (p * 2 + q) * c:(p * 2 + q + 1) * c] = (
+                rows[:, :, q * c:(q + 1) * c])
 
 
 @functools.partial(jax.jit, static_argnames=("ht", "interpret"))
 def shift_s2d2_pallas(x: jnp.ndarray, ht: int = 0,
                       interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused pad + SHIFTED space_to_depth(2) in one Pallas pass:
-    (N, H, W, C) int8 -> (N, H/2+1, W/2+1, 4C), identical to
-    ``space_to_depth(jnp.pad(x, ((0,0),(1,3),(1,3),(0,0)))[:, :H+2, :W+2], 2)``
+    (N, H, W, C) int8 -> (N, roundup(H/2+1, 8), W/2+1, 4C); rows
+    [:H/2+1] are identical to
+    ``space_to_depth(jnp.pad(x, ((0,0),(1,1),(1,1),(0,0))), 2)``
     — i.e. the exact input layout the fold_xla_k2 f=2 stage consumes
     (1 SAME-halo row/col top/left, 1 block-completing zero row/col
-    bottom/right).
+    bottom/right) — and the trailing rows are zeros (junk row blocks so
+    the grid isn't forced to ht=1 when H/2+1 is prime, e.g. 53; the
+    consumer's VALID conv trims to H/2 output rows either way).
 
     Motivation (round-3 gap attribution, docs/GAP_ATTRIB.json): the XLA
     pad+reshape+transpose chain for this relayout costs ~0.27 ms in
@@ -489,29 +498,40 @@ def shift_s2d2_pallas(x: jnp.ndarray, ht: int = 0,
     n, h, wd, c = x.shape
     assert h % 2 == 0 and wd % 2 == 0, x.shape
     hout, wout = h // 2 + 1, wd // 2 + 1
-    # pad: 1 top/left halo + 1 bottom/right to complete blocks
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # hout is often prime (104 -> 53): emit junk ZERO rows up to a
+    # multiple of 8 so the grid gets real row blocks instead of ht=1
+    # (the consumer's VALID conv output rows >= h/2 are trimmed anyway,
+    # and zero input rows make them well-defined)
+    hout_p = _round_up(hout, 8)
+    # pad: 1 top/left halo + 1 bottom/right to complete blocks (+ the
+    # junk rows); then merge adjacent column pairs into the lane dim —
+    # a free row-major reshape that makes the in-kernel column-parity
+    # extraction a lane slice (see _shift_s2d2_kernel)
+    xp = jnp.pad(x, ((0, 0), (1, 2 * hout_p - h - 1), (1, 1), (0, 0)))
     wp = wd + 2
+    w2 = wp // 2
+    xp = xp.reshape(n, 2 * hout_p, w2, 2 * c)
     if not ht:
-        for cand in (27, 18, 9, 6, 3, 2, 1):
-            if hout % cand == 0 and cand * wp * c * 6 < 8_000_000:
+        for cand in (28, 14, 8, 7, 4, 2, 1):
+            if hout_p % cand == 0 and cand * wp * c * 6 < 8_000_000:
                 ht = cand
                 break
-    assert ht and hout % ht == 0, (hout, ht)
+    assert ht and hout_p % ht == 0, (hout_p, ht)
     return pl.pallas_call(
-        functools.partial(_shift_s2d2_kernel, ht=ht, wp=wp, c=c),
-        grid=(n, hout // ht),
+        functools.partial(_shift_s2d2_kernel, ht=ht, w2=w2, c=c),
+        grid=(n, hout_p // ht),
         in_specs=[
-            pl.BlockSpec((1, 2 * ht, wp, c), lambda nn, ii: (nn, ii, 0, 0),
+            pl.BlockSpec((1, 2 * ht, w2, 2 * c),
+                         lambda nn, ii: (nn, ii, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ht, wout, 4 * c),
                                lambda nn, ii: (nn, ii, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hout, wout, 4 * c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, hout_p, wout, 4 * c), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=0,
-            bytes_accessed=int(2 * n * hout * wout * 4 * c
+            bytes_accessed=int(2 * n * hout_p * wout * 4 * c
                                * x.dtype.itemsize),
             transcendentals=0),
         interpret=interpret,

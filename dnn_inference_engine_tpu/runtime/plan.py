@@ -618,6 +618,7 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         f = st.fold
         assert cur_fold == 1 and not st.s_out_is_final, st
         s_out = s_next
+        ho_wo = None      # (ho, wo) override when trim can't express it
         trim = 2          # junk rows/cols of the 2f-1 pad, sliced post-conv
         if cur_scale is None:
             cur_scale = jnp.float32(act_scales[li])
@@ -645,13 +646,19 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                 # one-pass Pallas shift-s2d(2): round-3 gap attribution
                 # (docs/GAP_ATTRIB.json) measured the XLA pad+s2d chain
                 # at ~0.27 ms in context here — the plan's largest
-                # boundary overhead. The kernel emits (H/2+1, W/2+1)
-                # with no junk trailing block, so the VALID conv output
-                # spatial is exact (input-1) and needs no slice.
+                # boundary overhead. Measured win on v5e batch 32
+                # (tools/ab_shift_s2d.py, interleaved): whole-net
+                # 2.163/2.174 ms vs 2.189/2.194 — most of the ~0.27 ms
+                # attribution was NOT the s2d chain itself (XLA fuses
+                # it into the conv's input); the kernel keeps a steady
+                # ~1% and stays on. The kernel emits W/2+1 columns and
+                # H/2+1 valid rows plus zero junk rows up to a multiple
+                # of 8 (53 is prime); the VALID conv's junk output rows
+                # are sliced off by the explicit (ho, wo) below.
                 from dnn_inference_engine_tpu.ops.pallas_conv import (
                     shift_s2d2_pallas)
+                ho_wo = (x.shape[1] // 2, x.shape[2] // 2)
                 x = shift_s2d2_pallas(x)
-                trim = 1
             else:
                 x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
                                 (0, 0)))
@@ -659,7 +666,7 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                 trim = 2
         if st.cin_pad and x.shape[-1] < st.cin_pad:
             x = jnp.pad(x, ((0, 0),) * 3 + ((0, st.cin_pad - x.shape[-1]),))
-        ho, wo = x.shape[1] - trim, x.shape[2] - trim
+        ho, wo = ho_wo or (x.shape[1] - trim, x.shape[2] - trim)
         y = jax.lax.conv_general_dilated(
             x, pp["wq"], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -202,13 +202,18 @@ def test_quant_space_to_depth4_bit_exact(rng):
 def test_shift_s2d2_pallas_matches_xla(rng):
     """One-pass Pallas shift-s2d(2) == pad(1,1)+space_to_depth(2) (the
     exact input the fold_xla_k2 f=2 stage consumes, minus the junk
-    trailing block the XLA path pads in and slices back off)."""
+    trailing block the XLA path pads in and slices back off). The
+    kernel additionally emits zero junk rows up to a multiple of 8
+    (H/2+1 is often prime) — asserted zero."""
     import jax.numpy as jnp
     from dnn_inference_engine_tpu.ops.pallas_conv import (
         shift_s2d2_pallas, space_to_depth)
     for shape in ((2, 52, 52, 32), (1, 104, 104, 64), (3, 8, 12, 16)):
         x = jnp.asarray(rng.integers(-127, 128, shape), jnp.int8)
-        ref = space_to_depth(
-            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), 2)
-        got = shift_s2d2_pallas(x)
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        ref = np.asarray(space_to_depth(
+            jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))), 2))
+        got = np.asarray(shift_s2d2_pallas(x))
+        hout = ref.shape[1]
+        np.testing.assert_array_equal(got[:, :hout], ref)
+        assert got.shape[1] % 8 == 0
+        np.testing.assert_array_equal(got[:, hout:], 0)
