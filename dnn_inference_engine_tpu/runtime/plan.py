@@ -663,7 +663,6 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                 x = jnp.pad(x, ((0, 0), (1, 2 * f - 1), (1, 2 * f - 1),
                                 (0, 0)))
                 x = space_to_depth(x, f)
-                trim = 2
         if st.cin_pad and x.shape[-1] < st.cin_pad:
             x = jnp.pad(x, ((0, 0),) * 3 + ((0, st.cin_pad - x.shape[-1]),))
         ho, wo = ho_wo or (x.shape[1] - trim, x.shape[2] - trim)

@@ -184,26 +184,35 @@ class _SweepContext:
         return rms if rms < tol else None
 
     def measure(self, strategy: Strategy,
-                iters: Tuple[int, int] = (60, 10),
-                reps: int = 3) -> Tuple[Optional[float], Optional[float]]:
-        """(whole-net seconds/batch, parity rel RMS) for a candidate;
-        (None, rms/None) when invalid, non-compiling, or wrong."""
+                iters: Tuple[int, int] = (60, 10), reps: int = 3,
+                ) -> Tuple[Optional[float], Optional[float], Optional[str]]:
+        """(whole-net seconds/batch, parity rel RMS, error) for a
+        candidate. Error strings distinguish the failure classes so a
+        crashing production kernel is never silently indistinguishable
+        from an illegal candidate in the artifact (a sweep that records
+        null for both would emit an all-XLA strategy on a kernel
+        regression without anyone noticing):
+
+          (None, None, None)            plan unbuildable (illegal entry)
+          (None, rms, "PARITY...")      compiled but diverged: rejected
+          (None, None, "CRASHED: ...")  raised while compiling/running
+        """
         from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time
         built = self.build(strategy)
         if built is None:
-            return None, None
+            return None, None, None
         fwd, pp, x = built
         try:
             heads = fwd(pp, x)
             rms = self.check_parity(heads)
-            if rms is None:
-                return None, None              # fast-but-wrong: reject
+            if rms is None:                    # fast-but-wrong: reject
+                return None, None, "PARITY: diverged from all-XLA head"
             t = per_iter_time(lambda xx: fwd(pp, xx), (x,),
                               iters_hi=iters[0], iters_lo=iters[1],
                               reps=reps, stat="min")
-            return float(t), rms
-        except Exception:                      # noqa: BLE001 — candidate
-            return None, None                  # failed to compile/run
+            return float(t), rms, None
+        except Exception as e:                 # noqa: BLE001 — candidate
+            return None, None, f"CRASHED: {repr(e)[:200]}"
 
 
 def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
@@ -233,29 +242,38 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
     fwd, pp, x = ctx.build(base)
     ctx.ref_head = ctx._flat(fwd(pp, ctx.x_f32))
 
-    measurements: Dict[str, Dict[str, Optional[float]]] = {}
-    best_t, _ = ctx.measure(base, iters, reps)
-    assert best_t is not None, "all-XLA baseline plan failed to run"
+    measurements: Dict[str, Dict[str, object]] = {}
+    crashed = 0
+    best_t, _, err = ctx.measure(base, iters, reps)
+    assert best_t is not None, f"all-XLA baseline plan failed to run: {err}"
     log(f"[sweep] {model_name} {mode} batch={batch}: all-xla baseline "
         f"{best_t*1e3:.3f} ms/batch")
     for li in convs:
-        row: Dict[str, Optional[float]] = {
+        row: Dict[str, object] = {
             _cand_name(base[li]): round(best_t * 1e3, 4)}
         for cand in candidate_entries(ctx.model, li, mode, quick=quick):
             if cand == base[li]:
                 continue
             trial = dict(base)
             trial[li] = cand
-            t, rms = ctx.measure(trial, iters, reps)
-            row[_cand_name(cand)] = None if t is None else round(t * 1e3, 4)
+            t, rms, err = ctx.measure(trial, iters, reps)
+            # row value: ms | "CRASHED: ..."/"PARITY..." | null (illegal)
+            row[_cand_name(cand)] = (round(t * 1e3, 4) if t is not None
+                                     else err)
+            if err is not None and err.startswith("CRASHED"):
+                crashed += 1
+                log(f"[sweep] WARNING L{li} {_cand_name(cand)}: {err}")
             if t is not None and t < best_t:
                 base, best_t = trial, t
             log(f"[sweep] L{li} {_cand_name(cand):24s} "
-                + ("invalid/wrong" if t is None else
+                + ((err or "illegal") if t is None else
                    f"{t*1e3:.3f} ms (rms {rms:.4f})"))
         measurements[str(li)] = row
         log(f"[sweep] L{li} -> {_cand_name(base[li])}  "
             f"(whole-net {best_t*1e3:.3f} ms)")
+    if crashed:
+        log(f"[sweep] WARNING: {crashed} candidate(s) CRASHED (recorded "
+            "in measurements) — a production kernel may be broken")
 
     dev = jax.devices()[0]
     return {
@@ -267,7 +285,9 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
         "images_per_s": round(batch / best_t, 1),
         "strategy": _strategy_jsonable(base),
         "measurements": measurements,
+        "crashed_candidates": crashed,
         "note": "greedy coordinate descent, whole-net min-of-reps "
-                "loop-difference timing; null = plan invalid, failed "
-                "to compile, or failed the parity check vs all-XLA",
+                "loop-difference timing; null = plan illegal/unbuildable; "
+                "'CRASHED: ...' = raised while compiling/running; "
+                "'PARITY...' = failed the parity check vs all-XLA",
     }

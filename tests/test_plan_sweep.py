@@ -77,6 +77,29 @@ def test_sweep_rejects_fp32():
         sweep(mode="fp32")
 
 
+def test_sweep_records_candidate_crashes(monkeypatch):
+    """A candidate whose kernel RAISES must be recorded as a 'CRASHED'
+    string in the measurements row (not silently null): a broken
+    production kernel must be distinguishable from an illegal candidate,
+    or the sweep would emit an all-XLA strategy without a trace."""
+    import dnn_inference_engine_tpu.ops.pallas_conv as pc
+
+    def boom(*a, **kw):
+        raise RuntimeError("deliberately broken stem kernel")
+
+    monkeypatch.setattr(pc, "stem_fused_k2", boom)
+    art = sweep(model_name="yolov2-tiny", mode="w8a8", batch=2,
+                input_size=64, iters=(4, 2), reps=1, quick=True,
+                verbose=False)
+    row0 = art["measurements"]["0"]
+    crashed_vals = [v for v in row0.values()
+                    if isinstance(v, str) and v.startswith("CRASHED")]
+    assert crashed_vals and "deliberately broken" in crashed_vals[0]
+    assert art["crashed_candidates"] >= 1
+    # the sweep still completes and never selects the crashed kind
+    assert art["strategy"]["0"][0] != "stem_rs"
+
+
 def test_committed_tpu_sweep_artifact_matches_default_strategy():
     """docs/SWEEP_yolov2_w8a8_b32.json (measured on v5e) must agree with
     the built-in hand table — the table is now a cached measurement, and
