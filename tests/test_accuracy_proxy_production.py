@@ -18,6 +18,8 @@ from dnn_inference_engine_tpu.config import EngineConfig
 from dnn_inference_engine_tpu.eval.voc import voc_map, _iou_matrix
 from dnn_inference_engine_tpu.runtime.engine import Engine
 
+pytestmark = pytest.mark.slow
+
 SIZE = 416
 ON_TPU = jax.default_backend() == "tpu"
 N_IMAGES = 8 if ON_TPU else 2

@@ -32,6 +32,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.subproc
 def test_two_process_distributed_detect():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()

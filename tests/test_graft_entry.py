@@ -14,12 +14,14 @@ def test_entry_lowers():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+@pytest.mark.slow
 def test_dryrun_multichip_4():
     import __graft_entry__ as ge
     ge.dryrun_multichip(4)

@@ -38,6 +38,7 @@ def test_candidate_legality_yolov2():
     assert names12 == {"xla", "gemm"}
 
 
+@pytest.mark.slow
 def test_sweep_quick_cpu_and_engine_consumption(tmp_path):
     """The tool runs end-to-end (tiny config), emits a valid artifact,
     and Engine/CLI consume it via config.strategy."""
@@ -77,6 +78,7 @@ def test_sweep_rejects_fp32():
         sweep(mode="fp32")
 
 
+@pytest.mark.slow
 def test_sweep_records_candidate_crashes(monkeypatch):
     """A candidate whose kernel RAISES must be recorded as a 'CRASHED'
     string in the measurements row (not silently null): a broken

@@ -62,6 +62,7 @@ def test_distributed_batcher_single_process_degenerates():
         np.testing.assert_array_equal(classes, rc[0])
 
 
+@pytest.mark.subproc
 def test_two_process_distributed_serve():
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
