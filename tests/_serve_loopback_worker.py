@@ -2,20 +2,36 @@
 batching over a (4, 2) global CPU mesh (SURVEY.md N1 / BASELINE config 5
 executed in CI).
 
-Process 0 runs DistributedBatcher (leader: queue + lockstep steps) and
-submits requests; process 1 runs follower_loop. The leader asserts every
-result equals a single-device reference detect.
+Process 0 runs DistributedBatcher (leader: queue + scatter + lockstep
+steps) and submits requests; process 1 runs follower_loop. The leader
+asserts every result equals a single-device reference detect; the
+follower spies on the KV wire and asserts it only ever received ITS
+'data'-shard rows (not the whole batch — round-3 verdict weak #5).
 
-Run as: python _serve_loopback_worker.py <process_id> <port>
-Prints ``SERVE_LOOPBACK_OK <pid> ...`` on success.
+Modes (argv[3], default "serve"):
+  serve  normal run, clean shutdown via the leader's stop() header
+  crash  the leader WEDGES after a couple of batches (its serving loop
+         stops without ever emitting the shutdown header, process still
+         alive so the KV channel stays up); the follower must exit
+         CLEANLY via its leader timeout instead of blocking forever.
+         (A hard leader-process death is covered by the jax.distributed
+         runtime itself: the coordination-service error poller
+         terminates followers within seconds — also prompt, not a
+         hang — but bypasses follower_loop's clean return.)
+
+Run as: python _serve_loopback_worker.py <process_id> <port> [mode]
+Prints ``SERVE_LOOPBACK_OK <pid> ...`` (or ``SERVE_LOOPBACK_CRASH_OK``)
+on success.
 """
 
 import os
 import sys
+import time
 
 
 def main() -> None:
     pid, port = int(sys.argv[1]), sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "serve"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
@@ -29,29 +45,78 @@ def main() -> None:
     import numpy as np
     from dnn_inference_engine_tpu.config import EngineConfig
     from dnn_inference_engine_tpu.runtime.engine import Engine
-    from dnn_inference_engine_tpu.runtime.serve_distributed import (
-        DistributedBatcher, follower_loop)
+    from dnn_inference_engine_tpu.runtime import serve_distributed as sd
 
     kw = dict(model="yolov2-tiny", mode="w8a8", kernel="auto",
               input_size=64, serve_max_batch=4)
     eng = Engine(EngineConfig(mesh_shape=(4, 2), sharding="channel", **kw)
                  ).load_weights(key=jax.random.PRNGKey(0)).prepare()
     rng = np.random.default_rng(0)
+    n_imgs = 10 if mode == "serve" else 6
     imgs = [rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
-            for _ in range(10)]
+            for _ in range(n_imgs)]
 
     if pid != 0:
-        served = follower_loop(eng)
-        assert served >= 3, served   # 10 imgs / max_batch 4 -> >= 3 steps
-        print(f"SERVE_LOOPBACK_OK {pid} served={served}", flush=True)
+        # spy on the wire: every payload this follower receives must be
+        # exactly its shard rows (max_batch / n_procs of them), never
+        # the whole batch
+        sizes = []
+        orig_recv = sd._KVWire.recv
+
+        def spy(self, key, timeout_ms):
+            p = orig_recv(self, key, timeout_ms)
+            if p is not None and "/p" in key:
+                sizes.append(len(p))
+            return p
+
+        sd._KVWire.recv = spy
+        # crash mode: a short timeout so the dead-leader exit is quick;
+        # serve mode: generous (leader-side compiles precede step 0, but
+        # the leader starts its keepalive loop before computing its
+        # reference detections, so headers flow throughout)
+        served = sd.follower_loop(
+            eng, leader_timeout_s=15.0 if mode == "crash" else 120.0)
+        shard_bytes = (4 // 2) * 64 * 64 * 3
+        assert sizes and all(s == shard_bytes for s in sizes), (
+            f"follower received non-shard payload sizes: {sizes} "
+            f"(expected all == {shard_bytes})")
+        if mode == "crash":
+            assert served >= 1, served
+            print(f"SERVE_LOOPBACK_CRASH_OK {pid} served={served}",
+                  flush=True)
+            sys.stdout.flush()
+            # skip the interpreter-exit distributed-shutdown barrier:
+            # the wedged leader never shuts down cleanly, and waiting on
+            # it would stall this clean exit for shutdown_timeout
+            os._exit(0)
+        else:
+            assert served >= 3, served   # 10 imgs / max_batch 4
+            print(f"SERVE_LOOPBACK_OK {pid} served={served}", flush=True)
         return
 
-    # leader: single-device reference detections (batch of 1 each)
+    # leader: start the batcher FIRST so keepalive headers flow while
+    # the single-device reference engine compiles (otherwise the
+    # follower's leader-timeout could trip during this quiet stretch)
+    b = sd.DistributedBatcher(eng).start()
     ref_eng = Engine(EngineConfig(batch=1, **kw)).load_weights(
         key=jax.random.PRNGKey(0)).prepare()
     refs = [ref_eng.detect(img[None]) for img in imgs]
+    if mode == "crash":
+        futs = [b.submit(img) for img in imgs]
+        results = [f.result(timeout=600) for f in futs]
+        for (boxes, _s, classes), (rb, _rs, rc) in zip(results, refs):
+            np.testing.assert_allclose(boxes, rb[0], rtol=1e-5, atol=1e-5)
+        # WEDGE: stop the serving loop WITHOUT the shutdown header
+        # (ContinuousBatcher.stop skips DistributedBatcher's header) and
+        # go silent. No keepalives flow; the follower's leader-timeout
+        # is its only way out.
+        from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
+        ContinuousBatcher.stop(b)
+        time.sleep(25.0)             # > follower leader_timeout_s (15)
+        print(f"SERVE_LOOPBACK_CRASH_OK {pid}", flush=True)
+        sys.stdout.flush()
+        os._exit(42)
 
-    b = DistributedBatcher(eng).start()
     try:
         futs = [b.submit(img) for img in imgs]
         results = [f.result(timeout=600) for f in futs]

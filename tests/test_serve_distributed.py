@@ -62,14 +62,14 @@ def test_distributed_batcher_single_process_degenerates():
         np.testing.assert_array_equal(classes, rc[0])
 
 
-@pytest.mark.subproc
-def test_two_process_distributed_serve():
+def _run_pair(mode: str):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
-        subprocess.Popen([sys.executable, _WORKER, str(pid), str(port)],
+        subprocess.Popen([sys.executable, _WORKER, str(pid), str(port),
+                          mode],
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True, cwd=_REPO, env=env)
         for pid in (0, 1)
@@ -81,9 +81,30 @@ def test_two_process_distributed_serve():
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.fail("serve loopback workers timed out")
+        pytest.fail(f"serve loopback workers timed out (mode={mode})")
+    return procs, outs
+
+
+@pytest.mark.subproc
+def test_two_process_distributed_serve():
+    procs, outs = _run_pair("serve")
     for pid, (p, (so, se)) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, (
             f"worker {pid} rc={p.returncode}\nstdout:\n{so[-2000:]}\n"
             f"stderr:\n{se[-3000:]}")
         assert f"SERVE_LOOPBACK_OK {pid}" in so, so[-2000:]
+
+
+@pytest.mark.subproc
+def test_leader_crash_follower_exits_cleanly():
+    """Kill the leader (os._exit, no shutdown header) after a couple of
+    served batches: the follower must EXIT CLEANLY via its leader
+    timeout instead of hanging forever (round-3 verdict weak #5). Also
+    re-asserts the scatter contract under the crash path (the follower
+    only ever saw its own shard rows)."""
+    procs, outs = _run_pair("crash")
+    (lp, (lso, lse)), (fp, (fso, fse)) = list(zip(procs, outs))
+    assert lp.returncode == 42, (lp.returncode, lso[-1500:], lse[-2000:])
+    assert "SERVE_LOOPBACK_CRASH_OK 0" in lso, lso[-1500:]
+    assert fp.returncode == 0, (fp.returncode, fso[-1500:], fse[-3000:])
+    assert "SERVE_LOOPBACK_CRASH_OK 1" in fso, fso[-1500:]
