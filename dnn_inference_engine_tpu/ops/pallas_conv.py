@@ -538,6 +538,134 @@ def shift_s2d2_pallas(x: jnp.ndarray, ht: int = 0,
     )(xp)
 
 
+def _gs2_kernel(xb_ref, halo_ref, o_ref, *, ht, w2, go):
+    """Fused pool-major group-max + SHIFTED space_to_depth(2) pack.
+
+    xb (1, 2ht, w2, 8*go): the pre-gmax fold-2 conv output with adjacent
+    column PAIRS merged into lanes (free XLA reshape of the default
+    layout): lane block cp*4*go + k*go + c = pool group k, channel c of
+    column 2x+cp. halo (1, 1, w2, 8*go): the row BELOW this block (the
+    caller's top pad puts output row 0's row-above inside the block).
+
+    Output (1, ht, w2+1, 4*go): out[y, xo, (p*2+q)*go + c] =
+    gmax[2y+p-1, 2xo+q-1, c] — exactly shift_space_to_depth(gmax, 2),
+    the fold_xla_k2 f=2 consumer's input layout. Boundary reads (row -1,
+    col -1, col W) hit the SAME-halo zeros provided by the caller's pad.
+    """
+    four = 4 * go
+
+    def gmax(v):
+        # per column-parity half: max over the 4 pool groups' go-slices.
+        # i32 upcast: Mosaic cannot legalize arith.maxsi on int8 vectors
+        # (packed-byte lanes), while i32 max lowers fine — same trick as
+        # the stem kernels' group-max-on-the-accumulator.
+        outs = []
+        for cp in (0, 1):
+            m = None
+            for k in range(4):
+                s = jax.lax.slice_in_dim(v, cp * four + k * go,
+                                         cp * four + (k + 1) * go, axis=-1
+                                         ).astype(jnp.int32)
+                m = s if m is None else jnp.maximum(m, s)
+            outs.append(m.astype(jnp.int8))
+        return jnp.concatenate(outs, axis=-1)      # (..., w2, 2*go)
+
+    v = jnp.concatenate([gmax(xb_ref[0]), gmax(halo_ref[0, 0])],
+                        axis=0)                    # (2ht+1, w2, 2*go)
+    # assemble via direct ref stores: Mosaic's concatenate rejects
+    # operands whose internal (sublane, lane) offsets differ ("offset
+    # mismatch on non-concat dimension"), which the pad+lane-slice
+    # pieces here inevitably have; per-group stores sidestep it
+    zcol = jnp.zeros((ht, 1, go), jnp.int8)
+    for p in (0, 1):
+        rows = jax.lax.slice(v, (p, 0, 0), (p + 2 * ht, w2, 2 * go))
+        rows = rows.reshape(ht, 2, w2, 2 * go)[:, 0]   # (ht, w2, 2*go)
+        # q=1: out col xo <- gmax col 2*xo (parity 0); col w2 is the
+        # right SAME-halo zero
+        g1 = (2 * p + 1) * go
+        o_ref[0, :, 0:w2, g1:g1 + go] = jax.lax.slice(
+            rows, (0, 0, 0), (ht, w2, go))
+        o_ref[0, :, w2:w2 + 1, g1:g1 + go] = zcol
+        # q=0: out col xo <- gmax col 2*xo - 1 (parity 1, shifted right
+        # by one); col 0 is the left SAME-halo zero
+        g0 = 2 * p * go
+        o_ref[0, :, 1:w2 + 1, g0:g0 + go] = jax.lax.slice(
+            rows, (0, 0, go), (ht, w2, 2 * go))
+        o_ref[0, :, 0:1, g0:g0 + go] = zcol
+
+
+@functools.partial(jax.jit, static_argnames=("go", "ht", "interpret"))
+def gmax_shift_s2d2(y: jnp.ndarray, go: int, ht: int = 0,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused group-max + shifted space_to_depth(2), one Pallas pass.
+
+    y: (N, H, W, 4*go) int8 — a fold-2 conv stage's requantized
+    PRE-group-max output (pool-major groups). Returns
+    (N, roundup(H/2+1, 8), W/2+1, 4*go) int8 whose rows [:H/2+1] equal
+    ``shift_space_to_depth(gmax(y), 2)`` — i.e. exactly what the
+    following fold_xla_k2 f=2 stage consumes — with zero junk rows
+    beyond (the consumer's VALID conv trims to H/2 rows).
+
+    Round-4 xplane attribution (docs/TRACE_ATTRIB_r04.json): the XLA
+    group-max fusion (235 us), its {1,3,2,0} boundary relayout (146 us)
+    and the shift_s2d2_pallas input chain (96+35+44 us) total ~556 us
+    in-context at the conv2->conv3 seam — against a ~70 us bandwidth
+    floor for this op's traffic (read 44 MB + write 6 MB at batch 32).
+    This kernel does the whole seam in one pass; the column-pair lane
+    merge happens in the free XLA reshape of the conv's default-layout
+    output (in-kernel sublane->lane reshapes are Mosaic-rejected, see
+    _shift_s2d2_kernel).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, wd, c = y.shape
+    assert c == 4 * go and h % 2 == 0 and wd % 2 == 0, (y.shape, go)
+    w2 = wd // 2
+    wout = w2 + 1
+    hout = h // 2 + 1
+    hout_p = _round_up(hout, 8)
+    # column-pair lane merge (free in default layout), then pad: 1 zero
+    # row on top (the p=0 row -1 SAME halo) + zeros below through the
+    # junk rows, +1 row so every block's halo row exists
+    yr = y.reshape(n, h, w2, 2 * c)
+    yr = jnp.pad(yr, ((0, 0), (1, 2 * hout_p - h), (0, 0), (0, 0)))
+    if not ht:
+        for cand in (8, 4, 2, 1):
+            if hout_p % cand == 0 and (2 * cand + 1) * w2 * 2 * c * 3 \
+                    < 9_000_000:
+                ht = cand
+                break
+    assert ht and hout_p % ht == 0, (hout_p, ht)
+    nb = hout_p // ht
+    xblk = yr[:, :2 * hout_p]
+    # block i holds padded rows [2ht*i, 2ht*(i+1)); its halo is the one
+    # row below, 2ht*(i+1)
+    halo = jnp.stack([yr[:, 2 * ht * (i + 1):2 * ht * (i + 1) + 1]
+                      for i in range(nb)], axis=1)  # (N, nb, 1, w2, 2c)
+    return pl.pallas_call(
+        functools.partial(_gs2_kernel, ht=ht, w2=w2, go=go),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec((1, 2 * ht, w2, 2 * c),
+                         lambda nn, ii: (nn, ii, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, w2, 2 * c),
+                         lambda nn, ii: (nn, ii, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, wout, c),
+                               lambda nn, ii: (nn, ii, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hout_p, wout, c), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=int(xblk.size + halo.size
+                               + n * hout_p * wout * c),
+            transcendentals=0),
+        interpret=interpret,
+    )(xblk, halo)
+
+
 def _stem_dg_kernel(xb_ref, halo_ref, w_ref, scale_ref, bias_ref, s_ref,
                     o_ref, *, ht, w4, wout, act, go, coutf,
                     exact_u8=False):

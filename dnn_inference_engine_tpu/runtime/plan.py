@@ -79,6 +79,7 @@ class Stage:
 USE_SHIFT_S2D2_KERNEL = True
 
 _CONV_KINDS = {"fold_xla": "fold_xla", "fold_xla_k2": "fold_xla_k2",
+               "fold_xla_s2": "fold_xla_s2",
                "rs": "rs", "rs2": "rs", "stem_rs": "stem_rs",
                "stem_dg": "stem_dg",
                "xla": "xla", "gemm": "gemm", "auto": "auto", "s0": "s0"}
@@ -131,6 +132,17 @@ _YOLOV2_STRATEGY = {
     # contraction internally; 4 K=48 GEMMs underfill the MXU vs one
     # K=256). Both land ~12% HW-util; the stage is VPU/issue-bound.
     # stem_dg stays selectable so plan-sweep keeps re-measuring it.
+    # Round-4 NEGATIVE RESULT (docs/FRONTEND_FLOORS.md, xplane-traced):
+    # the conv2 seam (L2 fold_xla) costs 598 us in context — conv 217 +
+    # gmax fusion 235 + boundary relayout 146 — and FOUR replacement
+    # strategies all measured worse: all-XLA middle 2.197 vs 2.142 ms
+    # whole-net; rs kernel at this shape 1007 us standalone; DMA-
+    # assembled A_cat impossible (offsets+extents must be tile-aligned,
+    # tools/probe_dma_rules.py); the fused gmax+shift-s2d kernel
+    # (fold_xla_s2) 405 us alone vs a 61 us floor (Mosaic can't
+    # legalize int8 vector max -> i32 upcast over the 44 MB input) —
+    # whole-net 2.133 vs 2.061. fold_xla stays; fold_xla_s2 stays
+    # selectable so plan-sweep re-measures it on future toolchains.
     0: ("stem_rs", 4, {"cin_pad": 64}),
     2: ("fold_xla", 2),     # conv2 folded f2 (chained in, no relayout)
     4: ("fold_xla_k2", 2),  # conv3 shifted-k2 f2 (absorbs the slow pool)
@@ -263,6 +275,19 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
             li += 1
         else:
             return None
+    # fold_xla_s2 emits the SHIFTED fold-2 layout; only a fold_xla_k2
+    # f=2 conv stage can consume it (anything else would misread the
+    # junk-padded shifted tensor)
+    for i, st in enumerate(stages):
+        if st.kind == "fold_xla_s2":
+            if st.fold != 2 or st.pool_li in refs:
+                return None
+            nxt_conv = next((s for s in stages[i + 1:]
+                             if s.kind in _CONV_KINDS.values()), None)
+            if (nxt_conv is None or nxt_conv is not stages[i + 1]
+                    or nxt_conv.kind != "fold_xla_k2"
+                    or nxt_conv.fold != 2):
+                return None
     return stages
 
 
@@ -483,7 +508,10 @@ def plan_forward_w8(model, stages: Sequence[Stage],
                 cout = pp["s_w"].shape[0] // (f * f)
                 x = gmax_bf16(y, f, cout)
                 cur_fold = f // 2
-            elif st.kind == "fold_xla":
+            elif st.kind in ("fold_xla", "fold_xla_s2"):
+                # w8 has no int8 gs2 kernel; the gmax-then-relayout XLA
+                # chain is semantically identical, so s2 degrades to the
+                # fold_xla behavior (the next k2 stage re-shifts itself)
                 f = st.fold
                 if cur_fold != f:
                     if cur_fold > 1:
@@ -523,6 +551,8 @@ def _to_f32(t, s):
 
 
 def _defold(x, cur_fold):
+    assert cur_fold >= 1, (
+        "shifted fold-2 state (-2) must feed a fold_xla_k2 f=2 stage")
     return (depth_to_space(x, cur_fold), 1) if cur_fold > 1 else (x, 1)
 
 
@@ -616,11 +646,18 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         # conv's trailing junk row/col of blocks is sliced off. Never
         # chains from a folded producer (shifted layout).
         f = st.fold
-        assert cur_fold == 1 and not st.s_out_is_final, st
+        assert cur_fold in (1, -2) and not st.s_out_is_final, st
         s_out = s_next
         ho_wo = None      # (ho, wo) override when trim can't express it
         trim = 2          # junk rows/cols of the 2f-1 pad, sliced post-conv
-        if cur_scale is None:
+        if cur_fold == -2:
+            # a fold_xla_s2 producer already emitted the shifted fold-2
+            # layout (gmax_shift_s2d2: W/2+1 columns, junk zero rows to
+            # a multiple of 8) — consume it directly, no relayout at all
+            assert f == 2, st
+            ho_wo = (x.shape[2] - 1, x.shape[2] - 1)
+            cur_fold = 1
+        elif cur_scale is None:
             cur_scale = jnp.float32(act_scales[li])
             fused_ok = (f == 4 and x.shape[-1] == 3
                         and (x.shape[1] + 2 * f) % 8 == 0
@@ -735,7 +772,7 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
             x = fn(x, cur_scale, pp["wq"], pp["s_w"], pp["b"],
                    act=st.act, stride=st.stride, padding=st.padding,
                    s_out=s_out)
-    elif st.kind in ("fold_xla", "rs"):
+    elif st.kind in ("fold_xla", "fold_xla_s2", "rs"):
         assert s_out is not None
         f = st.fold
         cout = pp["s_w"].shape[0] // (f * f)   # static (from shape)
@@ -753,6 +790,17 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
             y = y.astype(jnp.float32) * (cur_scale * pp["s_w"]) + pp["b"]
             y = jnp.where(y > 0, y, 0.1 * y) if st.act == "leaky" else y
             y = quantize_act(y, s_out)
+            if st.kind == "fold_xla_s2":
+                # fused group-max + shifted-s2d(2) pack in one Pallas
+                # pass: the downstream fold_xla_k2 f=2 stage reads this
+                # directly. Replaces the XLA gmax fusion + boundary
+                # relayout + shift_s2d2 chain (~556 us in-context at
+                # batch 32, docs/TRACE_ATTRIB_r04.json) with one
+                # bandwidth-grade kernel.
+                from dnn_inference_engine_tpu.ops.pallas_conv import (
+                    gmax_shift_s2d2)
+                assert f == 2, st
+                return gmax_shift_s2d2(y, go=cout), s_out, -2
             # pool-major group-max on the requantized s8 tensor: 3 vector
             # maxes over contiguous channel slices; the surviving
             # (a*(f/2)+b, co) group order IS the fold-(f/2) layout.

@@ -96,6 +96,11 @@ def candidate_entries(model, li: int, mode: str,
                 cands.append(("fold_xla_k2", 4))
         else:
             cands += [("fold_xla", 2), ("fold_xla_k2", 2)]
+            if int8_ok:
+                # legal only when the NEXT conv runs fold_xla_k2 f=2
+                # (build_plan rejects other chains) — discoverable on
+                # the second greedy pass once that layer has settled
+                cands.append(("fold_xla_s2", 2))
             if int8_ok and not quick:
                 cands += [("rs", 2), ("rs2", 2)]
     return cands
@@ -248,29 +253,49 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
     assert best_t is not None, f"all-XLA baseline plan failed to run: {err}"
     log(f"[sweep] {model_name} {mode} batch={batch}: all-xla baseline "
         f"{best_t*1e3:.3f} ms/batch")
-    for li in convs:
-        row: Dict[str, object] = {
-            _cand_name(base[li]): round(best_t * 1e3, 4)}
-        for cand in candidate_entries(ctx.model, li, mode, quick=quick):
-            if cand == base[li]:
-                continue
-            trial = dict(base)
-            trial[li] = cand
-            t, rms, err = ctx.measure(trial, iters, reps)
-            # row value: ms | "CRASHED: ..."/"PARITY..." | null (illegal)
-            row[_cand_name(cand)] = (round(t * 1e3, 4) if t is not None
-                                     else err)
-            if err is not None and err.startswith("CRASHED"):
-                crashed += 1
-                log(f"[sweep] WARNING L{li} {_cand_name(cand)}: {err}")
-            if t is not None and t < best_t:
-                base, best_t = trial, t
-            log(f"[sweep] L{li} {_cand_name(cand):24s} "
-                + ((err or "illegal") if t is None else
-                   f"{t*1e3:.3f} ms (rms {rms:.4f})"))
-        measurements[str(li)] = row
-        log(f"[sweep] L{li} -> {_cand_name(base[li])}  "
-            f"(whole-net {best_t*1e3:.3f} ms)")
+    # coordinate descent until stable (max 3 passes): chain-coupled
+    # kinds (e.g. fold_xla_s2, legal only when the NEXT conv is
+    # fold_xla_k2) are invalid on pass 1 but discoverable on pass 2
+    # once the neighbor has settled; a single greedy pass froze them out
+    passes = 0
+    for pass_no in range(3):
+        passes += 1
+        changed = False
+        for li in convs:
+            row: Dict[str, object] = measurements.get(str(li), {})
+            row[_cand_name(base[li])] = round(best_t * 1e3, 4)
+            for cand in candidate_entries(ctx.model, li, mode, quick=quick):
+                if cand == base[li]:
+                    continue
+                if pass_no > 0:
+                    prev = row.get(_cand_name(cand), "unmeasured")
+                    if isinstance(prev, float) \
+                            and prev > best_t * 1e3 * 1.05:
+                        continue  # measured >5% worse in pass 1's
+                                  # near-identical context: don't pay a
+                                  # recompile to re-reject it. Illegal/
+                                  # crashed entries DO re-run (neighbors
+                                  # may have legalized them).
+                trial = dict(base)
+                trial[li] = cand
+                t, rms, err = ctx.measure(trial, iters, reps)
+                # row: ms | "CRASHED: ..."/"PARITY..." | null (illegal)
+                row[_cand_name(cand)] = (round(t * 1e3, 4)
+                                         if t is not None else err)
+                if err is not None and err.startswith("CRASHED"):
+                    crashed += 1
+                    log(f"[sweep] WARNING L{li} {_cand_name(cand)}: {err}")
+                if t is not None and t < best_t:
+                    base, best_t = trial, t
+                    changed = True
+                log(f"[sweep] p{pass_no} L{li} {_cand_name(cand):24s} "
+                    + ((err or "illegal") if t is None else
+                       f"{t*1e3:.3f} ms (rms {rms:.4f})"))
+            measurements[str(li)] = row
+            log(f"[sweep] p{pass_no} L{li} -> {_cand_name(base[li])}  "
+                f"(whole-net {best_t*1e3:.3f} ms)")
+        if not changed:
+            break
     if crashed:
         log(f"[sweep] WARNING: {crashed} candidate(s) CRASHED (recorded "
             "in measurements) — a production kernel may be broken")
@@ -286,6 +311,7 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
         "strategy": _strategy_jsonable(base),
         "measurements": measurements,
         "crashed_candidates": crashed,
+        "passes": passes,
         "note": "greedy coordinate descent, whole-net min-of-reps "
                 "loop-difference timing; null = plan illegal/unbuildable; "
                 "'CRASHED: ...' = raised while compiling/running; "

@@ -217,3 +217,58 @@ def test_shift_s2d2_pallas_matches_xla(rng):
         np.testing.assert_array_equal(got[:, :hout], ref)
         assert got.shape[1] % 8 == 0
         np.testing.assert_array_equal(got[:, hout:], 0)
+
+
+def test_gmax_shift_s2d2_kernel_exact(rng):
+    """Fused group-max + shifted-s2d(2) pack == pool-major gmax then
+    shift_space_to_depth(2), junk rows zero (round-4 fold_xla_s2 kind)."""
+    from dnn_inference_engine_tpu.ops.pallas_conv import (
+        gmax_shift_s2d2, shift_space_to_depth)
+    for (n, h, w, go) in [(2, 16, 16, 8), (1, 104, 104, 32), (2, 24, 16, 4)]:
+        y = jnp.asarray(rng.integers(-127, 128, (n, h, w, 4 * go)), jnp.int8)
+        g = jnp.maximum(
+            jnp.maximum(y[..., :go], y[..., go:2 * go]),
+            jnp.maximum(y[..., 2 * go:3 * go], y[..., 3 * go:]))
+        ref = np.asarray(shift_space_to_depth(g, 2))
+        got = np.asarray(gmax_shift_s2d2(y, go))
+        hr = ref.shape[1]
+        np.testing.assert_array_equal(got[:, :hr], ref)
+        assert got.shape[1] % 8 == 0
+        np.testing.assert_array_equal(got[:, hr:], 0)
+
+
+def test_plan_with_fold_xla_s2_strategy(rng):
+    """yolov2 plan with the fold_xla_s2 L2 stage is BIT-exact vs the
+    default plan (the gs2 kernel replaces gmax+relayout exactly), and
+    illegal chains (s2 not followed by a fold_xla_k2 f=2 conv) are
+    rejected by build_plan."""
+    from dnn_inference_engine_tpu.models import yolov2_tiny
+    from dnn_inference_engine_tpu.quant.quantize import (
+        calibrate, quantize_model_params)
+    from dnn_inference_engine_tpu.runtime.plan import (
+        _YOLOV2_STRATEGY, build_plan, plan_forward_w8a8,
+        prepare_plan_params)
+    model = yolov2_tiny()
+    params = model.init_params(jax.random.PRNGKey(0))
+    images = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    scales = calibrate(model, params, images, batch=2)
+    qparams = quantize_model_params(params, model.layers)
+    x = jnp.asarray(images)
+
+    p_ref = build_plan(model, None)
+    ref = np.asarray(plan_forward_w8a8(
+        model, p_ref, prepare_plan_params(model, qparams, p_ref),
+        scales, x))
+
+    strat = dict(_YOLOV2_STRATEGY)
+    strat[2] = ("fold_xla_s2", 2)
+    p_s2 = build_plan(model, strat)
+    assert p_s2 is not None
+    got = np.asarray(plan_forward_w8a8(
+        model, p_s2, prepare_plan_params(model, qparams, p_s2),
+        scales, x))
+    np.testing.assert_array_equal(got, ref)
+
+    bad = dict(strat)
+    bad[4] = ("xla", 1)          # consumer is not fold_xla_k2 f=2
+    assert build_plan(model, bad) is None
