@@ -135,3 +135,17 @@ V5E_HBM_BPS = 819.0e9
 def roofline_pct(flops: float, seconds: float,
                  peak: float = V5E_INT8_TOPS) -> float:
     return 100.0 * flops / seconds / peak
+
+
+def binding_bound_s(flops: float, hbm_bytes: float,
+                    peak_flops: float = V5E_INT8_TOPS,
+                    hbm_bps: float = V5E_HBM_BPS):
+    """(bound_seconds, "mxu"|"hbm"): the larger of the compute floor and
+    the bandwidth floor — the BINDING roofline for an op that must
+    execute ``flops`` ops and move at least ``hbm_bytes`` through HBM.
+    ``pct_of_binding = bound / measured`` is auditable against 100% for
+    every stage, unlike plain MFU which only makes sense for MXU-bound
+    stages (round-3 verdict weak #6)."""
+    t_mxu = flops / peak_flops
+    t_hbm = hbm_bytes / hbm_bps
+    return (t_mxu, "mxu") if t_mxu >= t_hbm else (t_hbm, "hbm")

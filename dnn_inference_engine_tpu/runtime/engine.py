@@ -286,6 +286,10 @@ class Engine:
         (MACs the MXU performs under the stage's formulation), mfu_pct
         (useful-work fraction of int8 peak), hw_util_pct (executed-MAC
         fraction — how close the kernel itself runs to the hardware),
+        hbm_mb (minimal contract traffic: input + params + output),
+        binding ("mxu"|"hbm": which roofline floor binds),
+        pct_of_binding (fraction of the binding roofline — auditable
+        against 100% for every stage, incl. bandwidth-bound ones),
         noise_pct (rep-to-rep spread of the loop-difference), suspect
         (True when the numbers cannot be trusted: utilization above
         chip peak, or <20 ms of device work resolved)}.
@@ -301,7 +305,8 @@ class Engine:
         >=95%-of-roofline north star.
         """
         from dnn_inference_engine_tpu.runtime.benchlib import (
-            V5E_INT8_TOPS, per_iter_time_stats, roofline_pct)
+            V5E_INT8_TOPS, binding_bound_s, per_iter_time_stats,
+            roofline_pct)
         from dnn_inference_engine_tpu.runtime.plan import (
             _run_stage, plan_forward_w8a8, stage_flops)
         assert self._plan is not None and self.config.mode == "w8a8", (
@@ -332,6 +337,18 @@ class Engine:
             def f(xx, _st=st, _pp=pp, _cs=cs0, _cf=cf0, _sv=saved0):
                 return _run_stage(layers, _st, _pp, xx, _cs, _cf,
                                   self.act_scales, _sv)[0]
+            # minimal HBM traffic of this stage's CONTRACT: input +
+            # params + output bytes. (A formulation may move more —
+            # folded intermediates, relayouts — which correctly shows
+            # up as a lower pct_of_binding, never a higher one.)
+            if si + 1 < len(states):
+                x_out = states[si + 1][0]
+            else:
+                x_out = f(x0)
+            hbm_bytes = (x0.size * x0.dtype.itemsize
+                         + x_out.size * x_out.dtype.itemsize
+                         + sum(int(v.size) * v.dtype.itemsize
+                               for v in pp.values()))
             if iters is not None:
                 s = per_iter_time_stats(f, (x0,), iters_hi=iters[0],
                                         iters_lo=iters[1])
@@ -348,6 +365,10 @@ class Engine:
             sub_res = s["delta_work_s"] < 0.02
             mfu = round(roofline_pct(gop * 1e9, t, V5E_INT8_TOPS), 2)
             hw = round(roofline_pct(gop_exec * 1e9, t, V5E_INT8_TOPS), 2)
+            # binding roofline: MXU floor for the formulation's executed
+            # ops vs HBM floor for its minimal traffic — whichever binds
+            bound_s, binding = binding_bound_s(gop_exec * 1e9, hbm_bytes)
+            pct_binding = round(100.0 * bound_s / t, 2)
             report.append({
                 "stage": si,
                 "name": f"L{st.conv_li}_{st.kind}"
@@ -358,6 +379,9 @@ class Engine:
                 "gop_exec": round(gop_exec, 3),
                 "mfu_pct": None if sub_res else mfu,
                 "hw_util_pct": None if sub_res else hw,
+                "hbm_mb": round(hbm_bytes / 1e6, 2),
+                "binding": binding,
+                "pct_of_binding": None if sub_res else pct_binding,
                 "noise_pct": round(min(s["spread_pct"], 999.9), 1),
                 "iters": list(s["iters"]),
                 "sub_resolution": sub_res,

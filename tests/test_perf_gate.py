@@ -40,11 +40,19 @@ def test_headline_throughput_floor():
 
 def test_stage_roofline_floor():
     """The executed-stage report must keep the GEMM-bound tail (conv7 =
-    L12, conv8 = L13) at roofline-grade MFU — north star >= 95%, floor
-    70% under timer noise, ceiling 105% (physically impossible beyond
-    peak: a higher number means the TIMING regressed, which is exactly
-    the round-2 failure this gate now catches) — with no vacuous None
-    branch, and the whole plan under a total-ms ceiling."""
+    L12, conv8 = L13) at roofline-grade efficiency, now asserted against
+    each stage's BINDING roofline (max of its MXU floor and HBM-traffic
+    floor — round-3 verdict weak #6: plain MFU is only auditable for
+    MXU-bound stages). Ceiling 105% (beyond-peak numbers mean the TIMING
+    regressed — the round-2 failure this gate catches); no vacuous None
+    branch; whole plan under a total-ms ceiling.
+
+    Floors: conv7 >= 95 (measures 97.4); conv8 >= 92 — its measured
+    plateau is 93.8% of the MXU bound, the im2col+GEMM tier loses
+    (sweep rows L13: 2.83 vs 2.01 ms whole-net), and in production it
+    fuses with conv9 (one XLA fusion, trace-verified 276.6 us vs a
+    261.9 us combined floor = 94.7%) — the remaining ~5-6% is the
+    emitter's epilogue/edge cost, recorded here rather than chased."""
     from dnn_inference_engine_tpu.config import EngineConfig
     from dnn_inference_engine_tpu.runtime.engine import Engine
 
@@ -54,9 +62,15 @@ def test_stage_roofline_floor():
     rep = eng.stage_times(batch=32)     # auto-scaled iteration counts
     total = sum(r["ms"] for r in rep)
     assert total < 2.6, f"executed stages total {total:.2f} ms (> 2.6)"
-    for lname in ("L12", "L13"):
+    for r in rep:
+        if not r["sub_resolution"]:
+            assert r["pct_of_binding"] <= 105, r     # timing sanity
+    for lname, floor in (("L12", 95.0), ("L13", 92.0)):
         r = next(s for s in rep if s["name"].startswith(lname))
         assert not r["sub_resolution"], (
             f"{lname} must resolve at auto-scaled iters, got {r}")
+        assert r["binding"] == "mxu", r    # tail convs are compute-bound
+        assert r["pct_of_binding"] is not None \
+            and floor < r["pct_of_binding"] <= 105, r
         assert r["mfu_pct"] is not None and 70 < r["mfu_pct"] <= 105, r
         assert not r["suspect"], r

@@ -197,9 +197,11 @@ def test_engine_stage_times_smoke():
     assert len(rep) == len(eng._plan)
     for r in rep:
         assert {"name", "ms", "gop", "gop_exec", "mfu_pct",
-                "hw_util_pct"} <= set(r)
+                "hw_util_pct", "hbm_mb", "binding",
+                "pct_of_binding"} <= set(r)
         assert r["ms"] >= 0
         assert r["gop_exec"] >= r["gop"] >= 0
+        assert r["binding"] in ("mxu", "hbm") and r["hbm_mb"] > 0
     # conv stages carry the work; at 64x64 conv1 useful = 64*64*9*3*16
     assert abs(rep[0]["gop"] - 2 * 64 * 64 * 9 * 3 * 16 * 2 / 1e9) < 1e-3
 
