@@ -117,16 +117,20 @@ def cmd_layer_times(args):
               f"batch={args.batch}"
               + (" (auto-scaled iteration counts)" if iters is None else ""))
         print(f"{'stage':>5s} {'name':18s} {'ms':>9s} {'GOP':>8s} "
-              f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s} {'noise%':>7s}")
+              f"{'GOPexec':>8s} {'MFU%':>7s} {'HWutil%':>8s} "
+              f"{'HBM MB':>7s} {'bind':>4s} {'bind%':>7s} {'noise%':>7s}")
         total = 0.0
         for r in eng.stage_times(batch=args.batch, iters=iters):
             mfu = ("  <res." if r["mfu_pct"] is None
                    else f"{r['mfu_pct']:7.2f}")
             hwu = ("   <res." if r["hw_util_pct"] is None
                    else f"{r['hw_util_pct']:8.2f}")
+            bnd = ("  <res." if r["pct_of_binding"] is None
+                   else f"{r['pct_of_binding']:7.2f}")
             sus = "  SUSPECT" if r["suspect"] else ""
             print(f"{r['stage']:5d} {r['name']:18s} {r['ms']:9.4f} "
                   f"{r['gop']:8.3f} {r['gop_exec']:8.3f} {mfu} {hwu} "
+                  f"{r['hbm_mb']:7.2f} {r['binding']:>4s} {bnd} "
                   f"{r['noise_pct']:7.1f}{sus}")
             total += r["ms"]
         print(f"# TOTAL stages {total:.4f} ms")
@@ -252,6 +256,37 @@ def cmd_plan_sweep(args):
                        "whole_net_ms", "images_per_s", "strategy")}))
 
 
+def cmd_trace(args):
+    """xplane-trace the production forward and print per-stage DEVICE
+    time (runtime/profiling.trace_attribution; see
+    docs/FRONTEND_FLOORS.md for the methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dnn_inference_engine_tpu.runtime.plan import plan_input_uint8_ok
+    from dnn_inference_engine_tpu.runtime.profiling import trace_attribution
+    eng = _build_engine(args)
+    rng = np.random.default_rng(0)
+    size = eng.config.input_size
+    xf = rng.uniform(0, 1, (args.batch, size, size, 3)).astype(np.float32)
+    if (eng.config.mode == "w8a8" and eng._plan is not None
+            and plan_input_uint8_ok(eng._plan)):
+        x = jnp.asarray(np.clip(np.round(xf * 255), 0, 255), np.uint8)
+    else:
+        x = jnp.asarray(xf)
+    art = trace_attribution(jax.jit(eng._fwd), eng.exec_params, x,
+                            runs=args.runs)
+    print(f"# module device time {art['module_device_us_per_run']:.1f} us"
+          f" over {art['runs_traced']} runs; ops sum "
+          f"{art['sum_of_ops_us_per_run']:.1f} us")
+    for k, v in art["by_scope_us"].items():
+        print(f"{v:10.2f} us  {k}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"# wrote {args.out}")
+
+
 def cmd_calibrate(args):
     from dnn_inference_engine_tpu.preprocess import load_calib_images
     eng = _build_engine(args)
@@ -331,6 +366,14 @@ def main(argv=None):
                    help="loop-difference iteration counts per candidate")
     p.add_argument("--reps", type=int, default=3)
     p.set_defaults(fn=cmd_plan_sweep)
+
+    p = sub.add_parser("trace",
+                       help="xplane trace attribution: per-stage device "
+                            "time of the production forward")
+    _add_common(p)
+    p.add_argument("--runs", type=int, default=30)
+    p.add_argument("--out", default=None, metavar="JSON")
+    p.set_defaults(fn=cmd_trace)
 
     p = sub.add_parser("calibrate", help="calibrate activation scales")
     _add_common(p)
