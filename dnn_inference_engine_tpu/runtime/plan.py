@@ -288,6 +288,33 @@ def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
                     or nxt_conv.kind != "fold_xla_k2"
                     or nxt_conv.fold != 2):
                 return None
+    # the shifted-k2 formulation cannot chain from a FOLDED producer
+    # (its input must be the plain tensor it shifts, or a fold_xla_s2
+    # emission): simulate the fold state _run_stage tracks and reject
+    # chains that would trip its layout assertions at trace time
+    # (round-4: the yolov3 sweep's crash recording surfaced exactly
+    # this — a fold_xla:4 entry followed by a fold_xla_k2:2 candidate)
+    cur = 1
+    for st in stages:
+        if cur == -2 and st.kind != "fold_xla_k2":
+            return None              # only fold_xla_k2 reads s2 output
+        if st.kind in ("stem_rs", "stem_dg"):
+            cur = st.fold // 2
+        elif st.kind == "s0":
+            cur = 2
+        elif st.kind == "fold_xla_s2":
+            cur = -2
+        elif st.kind == "fold_xla_k2":
+            cur = st.fold // 2       # defolds its input if needed
+        elif st.kind == "fold_xla":
+            cur = st.fold // 2
+        elif st.kind == "rs":
+            cur = ((st.fold // 2) * (2 if st.s2d_out else 1)
+                   if st.fold > 1 else 1)
+        else:
+            cur = 1                  # plain convs / graph stages defold
+    if cur == -2:
+        return None
     return stages
 
 
@@ -646,7 +673,14 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         # conv's trailing junk row/col of blocks is sliced off. Never
         # chains from a folded producer (shifted layout).
         f = st.fold
-        assert cur_fold in (1, -2) and not st.s_out_is_final, st
+        assert not st.s_out_is_final, st
+        if cur_fold > 1:
+            # chaining from a folded producer: de-fold first (same as
+            # the rs2 path; the shifted layout below needs the plain
+            # tensor). Surfaced by the round-4 yolov3 sweep's crash
+            # recording — this combination used to trip an assertion.
+            x = depth_to_space(x, cur_fold)
+            cur_fold = 1
         s_out = s_next
         ho_wo = None      # (ho, wo) override when trim can't express it
         trim = 2          # junk rows/cols of the 2f-1 pad, sliced post-conv

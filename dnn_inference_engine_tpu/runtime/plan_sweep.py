@@ -258,6 +258,12 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
     # fold_xla_k2) are invalid on pass 1 but discoverable on pass 2
     # once the neighbor has settled; a single greedy pass froze them out
     passes = 0
+    # rel_loss[(li, cand)] = candidate time / contemporaneous best when
+    # it was last measured — context-RELATIVE, so later passes can skip
+    # clear losers without mistaking "the whole net got faster since"
+    # for "this candidate is worse" (absolute comparisons skip
+    # everything once early passes improve the net a lot)
+    rel_loss: Dict[Tuple, float] = {}
     for pass_no in range(3):
         passes += 1
         changed = False
@@ -267,21 +273,21 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
             for cand in candidate_entries(ctx.model, li, mode, quick=quick):
                 if cand == base[li]:
                     continue
-                if pass_no > 0:
-                    prev = row.get(_cand_name(cand), "unmeasured")
-                    if isinstance(prev, float) \
-                            and prev > best_t * 1e3 * 1.05:
-                        continue  # measured >5% worse in pass 1's
-                                  # near-identical context: don't pay a
-                                  # recompile to re-reject it. Illegal/
-                                  # crashed entries DO re-run (neighbors
-                                  # may have legalized them).
+                if pass_no > 0 and rel_loss.get((li, _cand_name(cand)),
+                                                99.0) > 1.15:
+                    continue  # >15% worse than its contemporaneous
+                              # best: don't pay a recompile to
+                              # re-reject. Near-misses, illegal and
+                              # crashed entries DO re-run (context/
+                              # neighbors may have changed).
                 trial = dict(base)
                 trial[li] = cand
                 t, rms, err = ctx.measure(trial, iters, reps)
                 # row: ms | "CRASHED: ..."/"PARITY..." | null (illegal)
                 row[_cand_name(cand)] = (round(t * 1e3, 4)
                                          if t is not None else err)
+                if t is not None:
+                    rel_loss[(li, _cand_name(cand))] = t / min(best_t, t)
                 if err is not None and err.startswith("CRASHED"):
                     crashed += 1
                     log(f"[sweep] WARNING L{li} {_cand_name(cand)}: {err}")
