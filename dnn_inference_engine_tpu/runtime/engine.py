@@ -102,7 +102,8 @@ class Engine:
                 from dnn_inference_engine_tpu.runtime.plan_sweep import (
                     load_strategy)
                 strategy = load_strategy(self.config.strategy)
-            self._plan = build_plan(self.model, strategy)
+            self._plan = build_plan(self.model, strategy,
+                                    batch=self.config.batch)
             if (mode == "w8" and self._plan is not None
                     and any(st.kind in ("rs", "s0") for st in self._plan)):
                 self._plan = None       # int8-kernel kinds: no w8 variant

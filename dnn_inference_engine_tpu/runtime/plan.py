@@ -198,6 +198,25 @@ _DEFAULT_STRATEGIES = {
 }
 
 
+# per-(model, batch) pinned sweeps: the b32-tuned model defaults above
+# are NOT the measured winners at other batch sizes (round-4 sweeps:
+# the stem kernel loses at yolov3-b16 and yolov2-b1; conv3's k2 fold
+# loses at b1). Exact batch match wins; otherwise the model default.
+# Every entry mirrors a committed docs/SWEEP_*.json artifact and is
+# pinned to it by tests/test_plan_sweep.py.
+_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {}
+
+
+def default_strategy(model_name: str, batch: Optional[int] = None) -> Dict:
+    """The pinned measured strategy for (model, batch): the per-batch
+    sweep result when one exists, else the model's default table."""
+    if batch is not None:
+        s = _BATCH_STRATEGIES.get((model_name, batch))
+        if s is not None:
+            return s
+    return _DEFAULT_STRATEGIES.get(model_name, {})
+
+
 def _referenced_layers(model) -> Set[int]:
     """Layer indices whose outputs are consumed out of sequence."""
     refs: Set[int] = set()
@@ -211,10 +230,13 @@ def _referenced_layers(model) -> Set[int]:
     return refs
 
 
-def build_plan(model, strategy: Optional[Dict] = None) -> Optional[List[Stage]]:
-    """Layer-list model -> list of stages; None if unsupported."""
+def build_plan(model, strategy: Optional[Dict] = None,
+               batch: Optional[int] = None) -> Optional[List[Stage]]:
+    """Layer-list model -> list of stages; None if unsupported.
+    ``batch`` selects a per-batch pinned strategy when no explicit
+    strategy is given (default_strategy)."""
     if strategy is None:
-        strategy = _DEFAULT_STRATEGIES.get(model.name, {})
+        strategy = default_strategy(model.name, batch)
     refs = _referenced_layers(model)
     stages: List[Stage] = []
     layers = model.layers

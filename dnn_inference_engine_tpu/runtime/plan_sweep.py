@@ -220,13 +220,36 @@ class _SweepContext:
             return None, None, f"CRASHED: {repr(e)[:200]}"
 
 
+def _iters_for(t_s: float, base: Tuple[int, int] = (60, 10),
+               target_delta_s: float = 0.12,
+               max_iters: int = 2000) -> Tuple[int, int]:
+    """Iteration counts resolving ~``target_delta_s`` of device work at
+    per-iteration time ``t_s`` — the same auto-scaling stage_times uses.
+    Fixed (60, 10) counts resolve only 50*t of work: at batch 8 that is
+    ~25 ms, INSIDE the relay-RTT noise floor, and min-of-reps then
+    selects the most optimistic error — the round-4 b1/b8 sweeps first
+    emitted physically impossible results (112k img/s, 2x above the MXU
+    ceiling) exactly this way."""
+    delta = int(min(max(base[0] - base[1],
+                        target_delta_s / max(t_s, 1e-6)), max_iters))
+    lo = max(delta // 10, base[1])
+    return (lo + delta, lo)
+
+
 def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
           batch: int = 32, input_size: Optional[int] = None,
           iters: Tuple[int, int] = (60, 10), reps: int = 3,
           quick: bool = False, verbose: bool = True,
           weights: Optional[str] = None,
-          calib: Optional[str] = None) -> Dict:
-    """Greedy whole-net strategy sweep; returns the artifact dict."""
+          calib: Optional[str] = None,
+          auto_iters: bool = True) -> Dict:
+    """Greedy whole-net strategy sweep; returns the artifact dict.
+
+    ``auto_iters`` scales each measurement's loop counts from the
+    current best time (re-measuring any candidate that comes out
+    suspiciously faster than the context it was scaled for), so every
+    recorded number resolves ~120 ms of device work regardless of
+    batch size; ``iters`` is the floor."""
     import jax
     if mode not in ("w8", "w8a8"):
         raise ValueError(
@@ -251,6 +274,12 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
     crashed = 0
     best_t, _, err = ctx.measure(base, iters, reps)
     assert best_t is not None, f"all-XLA baseline plan failed to run: {err}"
+    if auto_iters:
+        # re-resolve the baseline at full delta-work before anything
+        # is compared against it
+        t2, _, _ = ctx.measure(base, _iters_for(best_t, iters), reps)
+        if t2 is not None:
+            best_t = t2
     log(f"[sweep] {model_name} {mode} batch={batch}: all-xla baseline "
         f"{best_t*1e3:.3f} ms/batch")
     # coordinate descent until stable (max 3 passes): chain-coupled
@@ -282,7 +311,15 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
                               # neighbors may have changed).
                 trial = dict(base)
                 trial[li] = cand
-                t, rms, err = ctx.measure(trial, iters, reps)
+                it = _iters_for(best_t, iters) if auto_iters else iters
+                t, rms, err = ctx.measure(trial, it, reps)
+                if auto_iters and t is not None and t < best_t / 2:
+                    # much faster than the time its counts were scaled
+                    # for -> under-resolved; re-measure at its own scale
+                    t2, rms2, _ = ctx.measure(trial, _iters_for(t, iters),
+                                              reps)
+                    if t2 is not None:
+                        t, rms = t2, rms2
                 # row: ms | "CRASHED: ..."/"PARITY..." | null (illegal)
                 row[_cand_name(cand)] = (round(t * 1e3, 4)
                                          if t is not None else err)
@@ -319,7 +356,10 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
         "crashed_candidates": crashed,
         "passes": passes,
         "note": "greedy coordinate descent, whole-net min-of-reps "
-                "loop-difference timing; null = plan illegal/unbuildable; "
+                "loop-difference timing"
+                + (" with auto-scaled loop counts (~120 ms resolved "
+                   "device work per measurement)" if auto_iters else "")
+                + "; null = plan illegal/unbuildable; "
                 "'CRASHED: ...' = raised while compiling/running; "
                 "'PARITY...' = failed the parity check vs all-XLA",
     }
