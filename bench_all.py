@@ -41,7 +41,9 @@ def bench_model(model, mode, batch, kernel="auto", input_size=None):
         x = jnp.asarray(np.clip(np.round(np.asarray(x) * 255), 0, 255),
                         jnp.uint8)
     fwd = lambda xx: eng._fwd(eng.exec_params, xx)
-    t = per_iter_time(fwd, (x,), iters_hi=40, iters_lo=8, reps=4, stat="min")
+    # auto-scaled loop counts (~120 ms resolved device work): fixed
+    # (40,8) counts under-resolve the batch-1 configs through the relay
+    t = per_iter_time(fwd, (x,), reps=4, stat="min")
     return {
         "model": model, "mode": mode, "batch": batch,
         "ms_per_batch": round(t * 1e3, 3),

@@ -266,3 +266,23 @@ def test_uint8_wire_bit_exact_on_fold_xla_k2(rng):
     h_u8 = np.asarray(run(jnp.asarray(u8)))
     h_f32 = np.asarray(run(jnp.asarray(f32)))
     np.testing.assert_array_equal(h_u8, h_f32)
+
+
+def test_default_strategy_batch_selection():
+    """default_strategy: exact (model, batch) pin wins; anything else
+    falls back to the model table (Engine.prepare passes config.batch)."""
+    from dnn_inference_engine_tpu.runtime import plan as plan_mod
+    from dnn_inference_engine_tpu.runtime.plan import default_strategy
+    orig = dict(plan_mod._BATCH_STRATEGIES)
+    try:
+        pinned = {0: ("stem_dg", 4)}
+        plan_mod._BATCH_STRATEGIES[("yolov2-tiny", 1)] = pinned
+        assert default_strategy("yolov2-tiny", 1) is pinned
+        assert default_strategy("yolov2-tiny", 32) \
+            is plan_mod._YOLOV2_STRATEGY
+        assert default_strategy("yolov2-tiny", None) \
+            is plan_mod._YOLOV2_STRATEGY
+        assert default_strategy("resnet18", 1) == {}
+    finally:
+        plan_mod._BATCH_STRATEGIES.clear()
+        plan_mod._BATCH_STRATEGIES.update(orig)
