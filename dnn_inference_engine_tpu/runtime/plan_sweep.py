@@ -303,12 +303,13 @@ def sweep(model_name: str = "yolov2-tiny", mode: str = "w8a8",
                 if cand == base[li]:
                     continue
                 if pass_no > 0 and rel_loss.get((li, _cand_name(cand)),
-                                                99.0) > 1.15:
+                                                0.0) > 1.15:
                     continue  # >15% worse than its contemporaneous
                               # best: don't pay a recompile to
                               # re-reject. Near-misses, illegal and
-                              # crashed entries DO re-run (context/
-                              # neighbors may have changed).
+                              # crashed entries (no rel_loss recorded —
+                              # default 0.0, never skipped) DO re-run:
+                              # context/neighbors may have changed.
                 trial = dict(base)
                 trial[li] = cand
                 it = _iters_for(best_t, iters) if auto_iters else iters
