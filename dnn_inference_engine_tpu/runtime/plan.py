@@ -154,11 +154,14 @@ _YOLOV2_STRATEGY = {
     14: ("xla", 1),
 }
 
-# YOLOv3-tiny: layers 0-10 have the same shapes as YOLOv2-tiny conv1-6,
-# so they inherit its measured choices; the graph tail (routes/upsample,
-# 1x1 mixes) uses the dispatch thresholds (gemm on MXU-shaped layers).
+# YOLOv3-tiny @ batch 16: MEASURED (round-4 re-sweep with auto-scaled
+# loop counts, docs/SWEEP_yolov3_w8a8_b16.json: 1.023 ms/batch =
+# 15.6k img/s, 2 passes, 0 crashes). Differs from the yolov2-b32
+# inheritance it replaced: stem_dg WINS at b16 (1.0234 vs stem_rs
+# 1.0551 — half the batch halves the stem grid, and the transpose-free
+# formulation's smaller per-cell fixed cost pays off); the rest match.
 _YOLOV3_STRATEGY = {
-    0: ("stem_rs", 4, {"cin_pad": 64}),       # same shapes as yolov2 conv1
+    0: ("stem_dg", 4),
     2: ("fold_xla", 2),
     4: ("fold_xla_k2", 2),                    # absorbs the C=64 pool
 
@@ -199,12 +202,35 @@ _DEFAULT_STRATEGIES = {
 
 
 # per-(model, batch) pinned sweeps: the b32-tuned model defaults above
-# are NOT the measured winners at other batch sizes (round-4 sweeps:
-# the stem kernel loses at yolov3-b16 and yolov2-b1; conv3's k2 fold
-# loses at b1). Exact batch match wins; otherwise the model default.
-# Every entry mirrors a committed docs/SWEEP_*.json artifact and is
-# pinned to it by tests/test_plan_sweep.py.
-_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {}
+# are NOT the measured winners at other batch sizes. Exact batch match
+# wins; otherwise the model default. Every entry mirrors a committed
+# docs/SWEEP_*.json artifact and is pinned to it by
+# tests/test_plan_sweep.py.
+_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {
+    # docs/SWEEP_yolov2_w8a8_b1.json: 0.1401 ms single-image device
+    # time — 4.9x better than running the b32 table at batch 1 (0.691
+    # ms, BENCH_r03): conv3's k2 shifted fold LOSES at b1 (0.305 vs
+    # 0.140 whole-net) and the k3 fold wins instead.
+    ("yolov2-tiny", 1): {
+        0: ("stem_rs", 4, {"cin_pad": 64}),
+        2: ("fold_xla", 2),
+        4: ("fold_xla", 2),
+        6: ("xla", 1), 8: ("xla", 1), 10: ("xla", 1),
+        12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1),
+    },
+    # docs/SWEEP_yolov2_w8a8_b8.json: 0.6225 ms/batch = 12.9k img/s —
+    # the graft-entry batch. Differs from b32: conv3 takes the k3 fold
+    # and conv5 (L8) folds k2 (both lose at b32).
+    ("yolov2-tiny", 8): {
+        0: ("stem_rs", 4, {"cin_pad": 64}),
+        2: ("fold_xla", 2),
+        4: ("fold_xla", 2),
+        6: ("xla", 1),
+        8: ("fold_xla_k2", 2),
+        10: ("xla", 1),
+        12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1),
+    },
+}
 
 
 def default_strategy(model_name: str, batch: Optional[int] = None) -> Dict:

@@ -102,19 +102,47 @@ def test_sweep_records_candidate_crashes(monkeypatch):
     assert art["strategy"]["0"][0] != "stem_rs"
 
 
-def test_committed_tpu_sweep_artifact_matches_default_strategy():
-    """docs/SWEEP_yolov2_w8a8_b32.json (measured on v5e) must agree with
-    the built-in hand table — the table is now a cached measurement, and
-    this pins them together so silent drift in either fails CI."""
+def _assert_artifact_pins_table(fname, table, min_imgs_per_s,
+                                max_imgs_per_s=56_600):
+    """A committed chip sweep artifact must agree with its built-in
+    table (the table is a cached measurement; drift in either fails CI)
+    and its headline must be PHYSICALLY plausible — below the chip's
+    MXU-bound ceiling (the round-4 fixed-iteration sweeps emitted 112k
+    img/s before the auto-scaler; that class of artifact must never be
+    committed again)."""
     import os
-    from dnn_inference_engine_tpu.runtime.plan import _YOLOV2_STRATEGY
-    path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "SWEEP_yolov2_w8a8_b32.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", fname)
     with open(path) as f:
         art = json.load(f)
     assert art["backend"] == "tpu", art["backend"]
     measured = {int(k): tuple(v[:2]) for k, v in art["strategy"].items()}
-    table = {k: tuple(v[:2]) for k, v in _YOLOV2_STRATEGY.items()}
-    assert measured == table, (measured, table)
-    # and the artifact's headline is in the plausible band for the chip
-    assert art["images_per_s"] > 12_000, art["images_per_s"]
+    pinned = {k: tuple(v[:2]) for k, v in table.items()}
+    assert measured == pinned, (fname, measured, pinned)
+    assert min_imgs_per_s < art["images_per_s"] <= max_imgs_per_s, (
+        fname, art["images_per_s"])
+
+
+def test_committed_tpu_sweep_artifact_matches_default_strategy():
+    from dnn_inference_engine_tpu.runtime.plan import _YOLOV2_STRATEGY
+    _assert_artifact_pins_table("SWEEP_yolov2_w8a8_b32.json",
+                                _YOLOV2_STRATEGY, 12_000)
+
+
+def test_committed_yolov3_b16_sweep_pins_table():
+    from dnn_inference_engine_tpu.runtime.plan import _YOLOV3_STRATEGY
+    _assert_artifact_pins_table("SWEEP_yolov3_w8a8_b16.json",
+                                _YOLOV3_STRATEGY, 12_000)
+
+
+def test_committed_yolov2_b1_sweep_pins_batch_table():
+    from dnn_inference_engine_tpu.runtime.plan import _BATCH_STRATEGIES
+    _assert_artifact_pins_table("SWEEP_yolov2_w8a8_b1.json",
+                                _BATCH_STRATEGIES[("yolov2-tiny", 1)],
+                                4_000)
+
+
+def test_committed_yolov2_b8_sweep_pins_batch_table():
+    from dnn_inference_engine_tpu.runtime.plan import _BATCH_STRATEGIES
+    _assert_artifact_pins_table("SWEEP_yolov2_w8a8_b8.json",
+                                _BATCH_STRATEGIES[("yolov2-tiny", 8)],
+                                9_000)
