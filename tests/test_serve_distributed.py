@@ -9,6 +9,7 @@ import socket
 import subprocess
 import sys
 
+import jax
 import pytest
 
 _WORKER = os.path.join(os.path.dirname(__file__),
@@ -27,6 +28,8 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 (virtual) devices")
 def test_distributed_batcher_single_process_degenerates():
     """With process_count == 1 the lockstep batcher must behave exactly
     like the plain batcher (broadcast of one process is the identity;
