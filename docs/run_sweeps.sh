@@ -1,11 +1,21 @@
 #!/bin/bash
+# Regenerate every pinned strategy artifact on the chip (round-4 set).
+# --quick drops the tiers that lose everywhere on this hardware (gemm,
+# rs/rs2, unpadded k2 entry) — the full candidate set roughly doubles
+# the wall time; drop --quick when hunting on a new toolchain.
+# The sweep auto-scales measurement loop counts (~120 ms resolved device
+# work each) — see plan_sweep._iters_for for why fixed counts lie.
 cd /root/repo
 {
-timeout 3000 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov2-tiny --mode w8a8 --batch 32 --out docs/SWEEP_yolov2_w8a8_b32.json
-echo "=== yolov2 done rc=$? ==="
-timeout 2400 python -m dnn_inference_engine_tpu.cli plan-sweep --model resnet18 --mode w8a8 --batch 32 --input-size 224 --quick --out docs/SWEEP_resnet18_w8a8_b32.json
+timeout 9000 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov2-tiny --mode w8a8 --batch 32 --out docs/SWEEP_yolov2_w8a8_b32.json
+echo "=== yolov2 b32 done rc=$? ==="
+timeout 9000 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov3-tiny --mode w8a8 --batch 16 --quick --out docs/SWEEP_yolov3_w8a8_b16.json
+echo "=== yolov3 b16 done rc=$? ==="
+timeout 7200 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov2-tiny --mode w8a8 --batch 1 --quick --out docs/SWEEP_yolov2_w8a8_b1.json
+echo "=== yolov2 b1 done rc=$? ==="
+timeout 7200 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov2-tiny --mode w8a8 --batch 8 --quick --out docs/SWEEP_yolov2_w8a8_b8.json
+echo "=== yolov2 b8 done rc=$? ==="
+timeout 7200 python -m dnn_inference_engine_tpu.cli plan-sweep --model resnet18 --mode w8a8 --batch 32 --input-size 224 --quick --out docs/SWEEP_resnet18_w8a8_b32.json
 echo "=== resnet18 done rc=$? ==="
-timeout 2400 python -m dnn_inference_engine_tpu.cli plan-sweep --model yolov3-tiny --mode w8a8 --batch 16 --out docs/SWEEP_yolov3_w8a8_b16.json
-echo "=== yolov3 done rc=$? ==="
 echo "ALL_SWEEPS_DONE"
 } > /tmp/sweeps.log 2>&1

@@ -1,14 +1,18 @@
 """Serve-throughput regression gate (round-3 verdict weak #4 / task 4):
-the continuous batcher's depth-1 pipelining must demonstrably beat a
-serialized dispatch loop, and steady-state throughput must clear an
-absolute floor — so a pipelining revert (or a uint8-wire regression
-inflating transfers) fails CI instead of passing silently.
+a revert of the batcher's depth-1 pipelining must fail CI, and
+steady-state throughput must clear an absolute floor (a uint8-wire or
+dispatch regression shows up there).
 
-TPU-lane only. Runs at 64 px so the measurement is dominated by what the
-pipeline actually hides — per-step dispatch/sync round trips (~25 ms
-each through the sandbox relay; PCIe latencies in production) — rather
-than by the relay's pathological bulk-transfer bandwidth
-(docs/RELAY.md), which would drown both variants in noise at 416 px.
+TPU-lane only. The first version raced a pipelined batcher against a
+serialized control and asserted a 1.1x win — through the sandbox relay
+that margin flips run-to-run (89.8 vs 97.2 one run, 112 vs 64 the
+next): the relay's RTT variance is larger than the pipelining win at
+gate-friendly image sizes. The pipelining property is therefore
+asserted STRUCTURALLY instead: with a saturated queue, the depth-1
+pipeline dispatches batch n+1 BEFORE resolving batch n — the event
+order contains two consecutive dispatches — which is impossible for a
+serialized loop (strictly alternating dispatch/resolve). Deterministic,
+noise-free, and exactly what a revert changes.
 """
 
 import time
@@ -22,49 +26,10 @@ pytestmark = pytest.mark.skipif(
     reason="serve throughput floors are only meaningful on real hardware")
 
 
-def _drive(eng, images, serialized=False):
-    from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
-
-    if serialized:
-        # the no-pipelining control: same collect/assemble code path,
-        # but every batch is dispatched AND resolved before the next is
-        # collected (what reverting the depth-1 pipeline would do)
-        class NoPipe(ContinuousBatcher):
-            def _loop(self):
-                size = self.engine.config.input_size
-                while not self._stop.is_set():
-                    batch = self._collect()
-                    if not batch:
-                        continue
-                    x = np.zeros((self.max_batch, size, size, 3), np.uint8)
-                    for i, (img, _f, _t) in enumerate(batch):
-                        x[i] = img
-                    try:
-                        res = self.engine.detect_device(x)
-                    except Exception as e:      # noqa: BLE001
-                        for _img, fut, _t in batch:
-                            fut.set_exception(e)
-                        continue
-                    self._resolve((batch, res))  # sync HERE: no overlap
-        cls = NoPipe
-    else:
-        cls = ContinuousBatcher
-    b = cls(eng, max_batch=8, timeout_ms=0.5).start()
-    try:
-        b.infer(images[0], timeout=300.0)          # warm/compile
-        t0 = time.perf_counter()
-        futs = [b.submit(img) for img in images]
-        for f in futs:
-            f.result(timeout=300.0)
-        dt = time.perf_counter() - t0
-    finally:
-        b.stop()
-    return len(images) / dt
-
-
-def test_batcher_pipelining_beats_serialized_and_clears_floor():
+def test_batcher_pipelines_dispatch_ahead_and_clears_floor():
     from dnn_inference_engine_tpu.config import EngineConfig
     from dnn_inference_engine_tpu.runtime.engine import Engine
+    from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
 
     eng = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
                               kernel="auto", input_size=64,
@@ -74,17 +39,34 @@ def test_batcher_pipelining_beats_serialized_and_clears_floor():
     images = [rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
               for _ in range(160)]
 
-    pipelined = _drive(eng, images)
-    serialized = _drive(eng, images, serialized=True)
+    events = []                    # appended only by the loop thread
+    orig_detect = eng.detect_device
+    eng.detect_device = lambda x: (events.append("d"),
+                                   orig_detect(x))[1]
+    b = ContinuousBatcher(eng, max_batch=8, timeout_ms=0.5)
+    orig_resolve = b._resolve
+    b._resolve = lambda p: (events.append("r"), orig_resolve(p))[1]
+    b.start()
+    try:
+        b.infer(images[0], timeout=300.0)          # warm/compile
+        t0 = time.perf_counter()
+        futs = [b.submit(img) for img in images]
+        for f in futs:
+            f.result(timeout=300.0)
+        dt = time.perf_counter() - t0
+    finally:
+        b.stop()
+    throughput = len(images) / dt
 
-    # (a) pipelining must win: the depth-1 dispatch overlaps the next
-    # batch's assembly+H2D with the previous batch's execution+D2H sync
-    assert pipelined > serialized * 1.1, (
-        f"depth-1 pipelining no longer beats serialized dispatch: "
-        f"{pipelined:.1f} vs {serialized:.1f} img/s — the pipeline or "
-        f"the uint8 wire path regressed")
-    # (b) absolute floor, generous to relay-pool variance: the batcher
-    # must sustain well over one 8-image batch per two round trips
-    assert pipelined > 60, (
-        f"steady-state serve throughput collapsed: {pipelined:.1f} "
-        "img/s at 64 px (floor 60)")
+    # (a) STRUCTURAL pipelining: some batch was dispatched before the
+    # previous batch's results were resolved. A serialized loop emits
+    # strictly alternating d r d r ... and can never produce "dd".
+    trace = "".join(events)
+    assert "dd" in trace, (
+        f"depth-1 pipelining is gone: dispatch/resolve order {trace!r} "
+        "is strictly serialized")
+    # (b) absolute floor, generous to relay-pool variance: well over one
+    # 8-image batch per two ~25 ms round trips
+    assert throughput > 40, (
+        f"steady-state serve throughput collapsed: {throughput:.1f} "
+        "img/s at 64 px (floor 40)")
