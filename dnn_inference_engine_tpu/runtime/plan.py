@@ -737,6 +737,16 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
             # layout (gmax_shift_s2d2: W/2+1 columns, junk zero rows to
             # a multiple of 8) — consume it directly, no relayout at all
             assert f == 2, st
+            # the true output row count (H/2) is NOT recoverable from
+            # the producer's 8-rounded padded height, so both output
+            # dims derive from the width — only valid for square
+            # inputs (all supported models are; round-4 advisor #3).
+            # For a square input the producer's padded height is
+            # exactly round8(W/2) = round8(x.shape[2]-1); anything else
+            # means a non-square input reached this consumer.
+            assert x.shape[1] == -(-(x.shape[2] - 1) // 8) * 8, (
+                "fold_xla_s2 -> fold_xla_k2 consumer requires square "
+                f"spatial input; got padded {x.shape}")
             ho_wo = (x.shape[2] - 1, x.shape[2] - 1)
             cur_fold = 1
         elif cur_scale is None:

@@ -14,11 +14,8 @@ arrays, so the batching loop is LOCKSTEP:
   leader-only contract is the deliberate simplicity/efficiency trade.)
 - each step the leader SCATTERS: it sends every follower ONLY that
   follower's 'data'-shard rows of the batch over the jax.distributed
-  KV store (chunked bytes), plus a tiny per-step header. Per-step wire
-  cost is O(batch / n_hosts) per follower — round-3 shipped the whole
-  uint8 batch (~16.6 MB at batch 32) to every host via
-  ``broadcast_one_to_all``, which scales per-step wire cost with
-  cluster size (round-3 verdict weak #5).
+  KV store (chunked bytes), plus a tiny per-step per-follower header.
+  Per-step wire cost is O(batch / n_hosts) per follower.
 - every process places its local rows with
   ``jax.make_array_from_process_local_data`` (addressable-shard
   placement — no further host transfer), then dispatches the SAME
@@ -31,9 +28,34 @@ arrays, so the batching loop is LOCKSTEP:
   hanging forever on a dead leader. The leader emits keepalive headers
   while idle so a quiet service is distinguishable from a dead one.
 
-Executed in CI by the 2-process CPU loopback tests
-(tests/test_serve_distributed.py, incl. a leader-crash test); on a real
-pod slice the same code serves BASELINE config 5.
+KV-store hygiene and failure contract (round-4 advisor findings):
+
+- Every key lives under ``sdb/r{run}/``, where ``run`` is allocated
+  atomically (``key_value_increment``) per DistributedBatcher — a
+  restarted batcher in the same jax.distributed session can never
+  collide with a predecessor's step keys. The leader publishes the id
+  at ``sdb/current_run`` (overwrite allowed); followers attach to it.
+- Every per-step key is SINGLE-READER-OWNED and deleted by its reader:
+  payload chunks AND their ``/n`` count key by the payload's follower,
+  and headers are written per-follower (``h/p{p}/{step}``) so each
+  follower deletes its own after reading. A long-running service holds
+  O(1) live keys, not O(steps). The only permanent residue is one
+  ``done`` tombstone per run.
+- A follower that exits ABNORMALLY (header timeout, missing payload,
+  compute failure) best-effort writes ``dead/p{p}``; the leader checks
+  these (non-blocking ``key_value_try_get``) before every data step
+  and refuses to dispatch a collective that would block forever on a
+  missing participant. Any leader-side failure after the step headers
+  are written is FATAL: the loop fails the batch's futures, emits the
+  shutdown headers so followers exit, and stops — continuing after a
+  desync could pair collectives across different steps and return
+  silently wrong rows. (A participant dying MID-collective is the one
+  case this protocol cannot catch; that is the jax.distributed
+  error-poller's domain, which terminates the session within seconds.)
+
+Executed in CI by 2-process AND 4-process (leader + 3 followers) CPU
+loopback tests (tests/test_serve_distributed.py, incl. leader-crash
+modes); on a real pod slice the same code serves BASELINE config 5.
 """
 
 from __future__ import annotations
@@ -47,6 +69,9 @@ from dnn_inference_engine_tpu.runtime.serve import ContinuousBatcher
 
 _CHUNK = 2 << 20        # stay under the coordination-service gRPC limit
 
+#: step-header flags
+_H_DATA, _H_KEEPALIVE, _H_SHUTDOWN = 1, 2, 0
+
 
 def _kv_client():
     from jax._src import distributed
@@ -56,10 +81,41 @@ def _kv_client():
 
 
 class _KVWire:
-    """Chunked bytes transport over the jax.distributed KV store."""
+    """Chunked bytes transport + lockstep control plane over the
+    jax.distributed KV store, namespaced by run id."""
 
-    def __init__(self):
+    def __init__(self, run: int = 0):
         self._c = _kv_client()
+        self.run = run
+
+    # -- run handshake -------------------------------------------------
+
+    @classmethod
+    def alloc_run(cls) -> "_KVWire":
+        """Leader side: atomically allocate a fresh run id and publish
+        it for followers."""
+        c = _kv_client()
+        run = int(c.key_value_increment("sdb/runid", 1))
+        c.key_value_set("sdb/current_run", str(run), allow_overwrite=True)
+        return cls(run)
+
+    @classmethod
+    def attach_run(cls, timeout_ms: int) -> Optional["_KVWire"]:
+        """Follower side: attach to the published run. None when no
+        leader publishes within the timeout or the run already ended."""
+        c = _kv_client()
+        try:
+            run = int(c.blocking_key_value_get("sdb/current_run",
+                                               timeout_ms))
+        except Exception:   # noqa: BLE001 — timeout or dead coordinator
+            return None
+        wire = cls(run)
+        return None if wire.is_done() else wire
+
+    def _k(self, suffix: str) -> str:
+        return f"sdb/r{self.run}/{suffix}"
+
+    # -- payloads (reader-owned, fully deleted on read) ----------------
 
     def send(self, key: str, payload: bytes) -> None:
         n = max(1, -(-len(payload) // _CHUNK))
@@ -76,22 +132,74 @@ class _KVWire:
                 f"{key}/c{i}", timeout_ms) for i in range(n)]
         except Exception:     # noqa: BLE001 — timeout OR coordinator death
             return None
-        for i in range(n):    # reader-owned keys: clean up after reading
+        # reader-owned keys: delete the chunks AND the count key, or a
+        # long-running service grows the KV store by one key per step
+        for k in [f"{key}/c{i}" for i in range(n)] + [f"{key}/n"]:
             try:
-                self._c.key_value_delete(f"{key}/c{i}")
+                self._c.key_value_delete(k)
             except Exception:  # noqa: BLE001
                 pass
         return b"".join(parts)
 
-    def set_header(self, step: int, flag: int) -> None:
-        self._c.key_value_set(f"sdb/h/{step}", str(flag))
+    def rows_key(self, step: int, p: int) -> str:
+        return self._k(f"d/{step}/p{p}")
 
-    def get_header(self, step: int, timeout_ms: int) -> Optional[int]:
+    # -- per-follower step headers -------------------------------------
+
+    def set_header(self, step: int, p: int, flag: int) -> None:
+        self._c.key_value_set(self._k(f"h/p{p}/{step}"), str(flag))
+
+    def get_header(self, step: int, p: int,
+                   timeout_ms: int) -> Optional[int]:
+        """Read-and-delete this follower's step header (each follower
+        owns its own header key, so deletion cannot race a peer)."""
+        key = self._k(f"h/p{p}/{step}")
         try:
-            return int(self._c.blocking_key_value_get(
-                f"sdb/h/{step}", timeout_ms))
+            flag = int(self._c.blocking_key_value_get(key, timeout_ms))
         except Exception:     # noqa: BLE001 — timeout OR coordinator death
             return None
+        try:
+            self._c.key_value_delete(key)
+        except Exception:     # noqa: BLE001
+            pass
+        return flag
+
+    # -- failure signalling --------------------------------------------
+
+    def mark_dead(self, p: int, reason: str) -> None:
+        """Follower: record an abnormal exit so the leader stops
+        dispatching collectives this process will never join.
+        Best-effort — the channel may already be down."""
+        try:
+            self._c.key_value_set(self._k(f"dead/p{p}"), reason,
+                                  allow_overwrite=True)
+        except Exception:     # noqa: BLE001
+            pass
+
+    def dead_followers(self, n_procs: int) -> Dict[int, str]:
+        out: Dict[int, str] = {}
+        for p in range(1, n_procs):
+            try:
+                out[p] = self._c.key_value_try_get(self._k(f"dead/p{p}"))
+            except Exception:  # noqa: BLE001 — not set: follower alive
+                pass
+        return out
+
+    # -- run tombstone -------------------------------------------------
+
+    def mark_done(self) -> None:
+        try:
+            self._c.key_value_set(self._k("done"), "1",
+                                  allow_overwrite=True)
+        except Exception:     # noqa: BLE001
+            pass
+
+    def is_done(self) -> bool:
+        try:
+            self._c.key_value_try_get(self._k("done"))
+            return True
+        except Exception:     # noqa: BLE001
+            return False
 
 
 def _proc_rows(mesh, batch: int) -> Dict[int, Tuple[int, int]]:
@@ -139,6 +247,11 @@ def _place_local(engine, x_local: np.ndarray, batch: int):
         input_sharding(engine.mesh), x_local, (batch, size, size, 3))
 
 
+class _FollowerDead(RuntimeError):
+    """A follower recorded an abnormal exit; sharded dispatch would
+    block forever in its collectives."""
+
+
 class DistributedBatcher(ContinuousBatcher):
     """Leader-side batcher: ContinuousBatcher whose device step runs in
     lockstep with the follower processes (scatter + mirrored dispatch).
@@ -157,24 +270,46 @@ class DistributedBatcher(ContinuousBatcher):
         self._rep = _replicator(engine)
         self._nproc = jax.process_count()
         self._step_no = 0
+        self._fatal: Optional[BaseException] = None
+        self._wire_closed = False
         if self._nproc > 1:
-            self._wire = _KVWire()
+            self._wire = _KVWire.alloc_run()
             self._rows = _proc_rows(engine.mesh, self.max_batch)
+
+    def submit(self, image: np.ndarray):
+        if self._fatal is not None:
+            raise RuntimeError(
+                "distributed serving loop stopped after a lockstep "
+                f"failure: {self._fatal!r}")
+        return super().submit(image)
 
     def _step(self, x: np.ndarray):
         """Scatter shard rows to followers, run the sharded detect on
         addressable shards, gather results host-side. Returns (boxes,
-        scores, classes) numpy for ALL rows."""
-        import jax
+        scores, classes) numpy for ALL rows.
+
+        Ordering contract: all fallible LOCAL work (shard placement,
+        dead-follower check) happens BEFORE the step headers are
+        written; once the headers are out, any exception desyncs the
+        lockstep and the caller must treat it as fatal
+        (``_headers_out`` tells it whether that line was crossed)."""
+        self._headers_out = False
         if self._nproc > 1:
             s = self._step_no
-            for p, (lo, hi) in self._rows.items():
-                if p != 0:
-                    self._wire.send(f"sdb/{s}/p{p}", x[lo:hi].tobytes())
-            self._wire.set_header(s, 1)
-            self._step_no += 1
             lo, hi = self._rows[0]
             xg = _place_local(self.engine, x[lo:hi], self.max_batch)
+            dead = self._wire.dead_followers(self._nproc)
+            if dead:
+                raise _FollowerDead(
+                    f"follower(s) recorded abnormal exit: {dead}")
+            for p, (plo, phi) in self._rows.items():
+                if p != 0:
+                    self._wire.send(self._wire.rows_key(s, p),
+                                    x[plo:phi].tobytes())
+            for p in range(1, self._nproc):
+                self._wire.set_header(s, p, _H_DATA)
+            self._headers_out = True
+            self._step_no += 1
             res = self._rep(self.engine.detect_fn()(
                 self.engine.exec_params, xg))
         else:
@@ -195,7 +330,9 @@ class DistributedBatcher(ContinuousBatcher):
                 now = time.perf_counter()
                 if (self._nproc > 1
                         and now - last_activity >= self.keepalive_s):
-                    self._wire.set_header(self._step_no, 2)
+                    s = self._step_no
+                    for p in range(1, self._nproc):
+                        self._wire.set_header(s, p, _H_KEEPALIVE)
                     self._step_no += 1
                     last_activity = now
                 continue
@@ -212,16 +349,64 @@ class DistributedBatcher(ContinuousBatcher):
             except Exception as e:                 # resolve, don't wedge
                 for _img, fut, _t in batch:
                     fut.set_exception(e)
+                if self._nproc > 1:
+                    # dead follower, or failure after the step headers
+                    # went out: the lockstep is (or would become)
+                    # desynced — continuing could pair collectives
+                    # across different steps and return silently wrong
+                    # rows. Fail fast: tell the followers to exit and
+                    # stop serving.
+                    self._fatal = e
+                    self._fail_queued(e)
+                    self._close_wire()
+                    return
                 continue
             self._resolve((batch, res))
 
+    def _fail_queued(self, exc: BaseException) -> None:
+        """Fail every not-yet-collected request so callers don't hang."""
+        import queue as _q
+        while True:
+            try:
+                _img, fut, _t = self.q.get_nowait()
+            except _q.Empty:
+                return
+            fut.set_exception(exc)
+
+    def _close_wire(self) -> None:
+        """Emit the shutdown header for every follower + the run
+        tombstone (idempotent)."""
+        if self._nproc <= 1 or self._wire_closed:
+            return
+        self._wire_closed = True
+        for p in range(1, self._nproc):
+            # belt-and-braces: if a straggling step already wrote this
+            # header slot, advance to the next step number
+            for attempt in range(3):
+                try:
+                    self._wire.set_header(self._step_no + attempt, p,
+                                          _H_SHUTDOWN)
+                    break
+                except Exception:  # noqa: BLE001 — duplicate key
+                    continue
+        self._step_no += 1
+        self._wire.mark_done()
+
     def stop(self):
-        """Stop the loop, then emit the shutdown header so the
-        followers' blocking wait resolves and their loops exit."""
-        super().stop()
-        if self._nproc > 1:
-            self._wire.set_header(self._step_no, 0)
-            self._step_no += 1
+        """Stop the loop, then emit the shutdown headers so the
+        followers' blocking waits resolve and their loops exit."""
+        self._stop.set()
+        if self._thread is not None:
+            # join WITHOUT a timeout: writing the shutdown header while
+            # the loop thread is still mid-step would race its step
+            # numbering (first-step compiles through the sandbox relay
+            # run ~40 s, far beyond any polite timeout). The loop cannot
+            # wedge host-side — every blocking call in it has a
+            # timeout — and a mid-collective wedge is fatal to the whole
+            # jax.distributed session anyway (error poller).
+            self._thread.join()
+            self._thread = None
+        self._close_wire()
 
 
 def follower_loop(engine, max_batch: Optional[int] = None,
@@ -234,33 +419,49 @@ def follower_loop(engine, max_batch: Optional[int] = None,
     is gone; hanging forever on a dead leader would wedge the host.
     The leader's idle keepalives arrive every ``keepalive_s`` (5 s), so
     any ``leader_timeout_s`` comfortably above that has no false trips.
+    On every abnormal exit the follower best-effort records itself dead
+    (``mark_dead``) so a still-alive leader stops dispatching
+    collectives this process will never join.
     """
     import jax
-    assert jax.process_index() != 0, "the leader runs DistributedBatcher"
+    p = jax.process_index()
+    assert p != 0, "the leader runs DistributedBatcher"
     max_batch = max_batch or engine.config.serve_max_batch
     size = engine.config.input_size
-    wire = _KVWire()
-    rows = _proc_rows(engine.mesh, max_batch)
-    lo, hi = rows[jax.process_index()]
-    rep = _replicator(engine)
     timeout_ms = int(leader_timeout_s * 1e3)
+    wire = _KVWire.attach_run(timeout_ms)
+    if wire is None:
+        return 0                     # no leader published a live run
+    rows = _proc_rows(engine.mesh, max_batch)
+    lo, hi = rows[p]
+    rep = _replicator(engine)
     served = 0
     step = 0
     while True:
-        flag = wire.get_header(step, timeout_ms)
-        if flag is None or flag == 0:
-            return served            # shutdown, leader death, or timeout
-        if flag == 2:                # keepalive: leader idle
+        flag = wire.get_header(step, p, timeout_ms)
+        if flag is None:             # leader death or timeout
+            wire.mark_dead(p, f"header-timeout@step{step}")
+            return served
+        if flag == _H_SHUTDOWN:
+            return served
+        if flag == _H_KEEPALIVE:
             step += 1
             continue
-        payload = wire.recv(f"sdb/{step}/p{jax.process_index()}",
-                            timeout_ms)
+        payload = wire.recv(wire.rows_key(step, p), timeout_ms)
         step += 1
         if payload is None:
+            wire.mark_dead(p, f"payload-timeout@step{step - 1}")
             return served
         x_local = np.frombuffer(payload, np.uint8).reshape(
             hi - lo, size, size, 3)
-        xg = _place_local(engine, x_local, max_batch)
-        res = rep(engine.detect_fn()(engine.exec_params, xg))
-        jax.block_until_ready(res)
+        try:
+            xg = _place_local(engine, x_local, max_batch)
+            res = rep(engine.detect_fn()(engine.exec_params, xg))
+            jax.block_until_ready(res)
+        except Exception:
+            # the leader is already inside (or about to enter) this
+            # step's collectives — mark_dead stops it from dispatching
+            # FURTHER steps; the in-flight one is the error poller's job
+            wire.mark_dead(p, f"compute-failure@step{step - 1}")
+            raise
         served += 1
