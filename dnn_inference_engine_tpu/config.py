@@ -50,6 +50,13 @@ SCORE_THRESH_VIS = 0.3    # visualization / demo threshold
 SCORE_THRESH_EVAL = 0.005  # low threshold for mAP evaluation
 NMS_IOU_THRESH = 0.45
 MAX_DETECTIONS = 128      # static top-K for on-device NMS (SURVEY.md section 7)
+# Candidate pool for the fixpoint device NMS: the class-agnostic top-K
+# boxes (by best class score) that enter suppression. 256 measured
+# survivor-converged even on an uncalibrated synthetic head where 128
+# truncates (tools/ab_nms.py round-5 sweep: 128 -> 41 survivors,
+# 256/512/845 -> 90), at +25 us on batch-1 detect; latency-critical
+# serving can drop it to 128 via EngineConfig.nms_topk.
+NMS_TOPK = 256
 
 # Quantization semantics (SURVEY.md section 2.2 / hard part 5):
 #  - symmetric int8, clip to [-127, 127] (no -128, keeps symmetry)
@@ -88,6 +95,7 @@ class EngineConfig:
     score_thresh: float = SCORE_THRESH_VIS
     nms_iou_thresh: float = NMS_IOU_THRESH
     max_detections: int = MAX_DETECTIONS
+    nms_topk: int = NMS_TOPK           # NMS candidate pool (see NMS_TOPK)
 
     # Serving (SURVEY.md N1)
     serve_max_batch: int = 32

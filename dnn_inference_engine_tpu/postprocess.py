@@ -143,6 +143,46 @@ def _greedy_suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
     return keep
 
 
+def _greedy_fixpoint(dom: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy NMS keep masks as a Jacobi fixpoint.
+
+    dom (C, K, K) bool: dom[c, j, i] means candidate j both PRECEDES i
+    in class-c greedy order (higher score, index tie-break) and
+    overlaps it past the IoU threshold. valid (C, K): above the score
+    threshold. Greedy's keep is the unique solution of
+
+        keep[i] = valid[i] and not any(dom[j, i] and keep[j])
+
+    because dom restricted to the precedence order is a DAG. Jacobi
+    iteration from keep0 = valid makes every candidate of suppression
+    depth <= t correct after t+1 sweeps, so ``lax.while_loop`` with a
+    convergence test terminates in (longest suppression chain + 2)
+    iterations — typically 2-5 for real detections, vs the
+    always-K sequential steps of ``_greedy_suppress`` (the round-4
+    trace put that ``fori_loop`` at 166 us of the 462 us batch-1
+    detect). Worst case is still K sweeps (safety bound), same
+    per-sweep cost as one fori_loop step over the whole matrix.
+    """
+    k = valid.shape[-1]
+
+    def step(keep):
+        sup = jnp.any(jnp.logical_and(dom, keep[..., :, None]), axis=-2)
+        return jnp.logical_and(valid, jnp.logical_not(sup))
+
+    def cond(st):
+        prev, keep, it = st
+        return jnp.logical_and(jnp.any(prev != keep), it < k)
+
+    def body(st):
+        _, keep, it = st
+        return keep, step(keep), it + 1
+
+    keep0 = valid
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (keep0, step(keep0), jnp.int32(1)))
+    return keep
+
+
 @partial(jax.jit, static_argnames=("iou_thresh", "score_thresh", "topk",
                                    "max_det"))
 def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
@@ -155,9 +195,70 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
     boxes: (B, M, 4) cxcywh; scores: (B, M, C).
     Returns (boxes (B, D, 4) xyxy, scores (B, D), classes (B, D) int32),
     zero-padded, sorted by score desc. D = max_det.
+
+    Formulation (round-5 batch-1 latency attack): ONE class-agnostic
+    candidate top-K (by best-class score) replaces C per-class sorts;
+    the K x K IoU matrix is computed once and shared by every class;
+    per-class greedy order is encoded as a pairwise precedence matrix
+    (score desc, candidate-index tie-break — matching the host
+    oracle's stable sort) and suppression resolves via
+    ``_greedy_fixpoint``. With topk >= M (no candidate truncation) the
+    result is exactly the host oracle's; with truncation the candidate
+    set is the global top-K rather than per-class top-Ks (gated by the
+    production accuracy proxies in tests/test_accuracy_proxy*.py).
     """
     b_xyxy = cxcywh_to_xyxy(boxes)
-    topk = min(topk, boxes.shape[1])          # fewer candidates than top-K
+    m = boxes.shape[1]
+    topk = min(topk, m)               # fewer candidates than top-K
+
+    def per_image(bx, sc):           # bx (M,4), sc (M,C)
+        c = sc.shape[-1]
+        if topk < m:
+            best = jnp.max(sc, axis=-1)
+            _, oidx = jax.lax.top_k(best, topk)     # (K,) original indices
+            bk, sk = bx[oidx], sc[oidx]             # (K,4), (K,C)
+        else:
+            oidx = jax.lax.iota(jnp.int32, m)
+            bk, sk = bx, sc
+        iou = _pairwise_iou_xyxy(bk)                # (K,K), shared
+        s = sk.T                                    # (C,K)
+        # prec[c,j,i]: j before i in class-c greedy order (strict)
+        prec = jnp.logical_or(
+            s[:, :, None] > s[:, None, :],
+            jnp.logical_and(s[:, :, None] == s[:, None, :],
+                            oidx[:, None] < oidx[None, :]))
+        dom = jnp.logical_and(prec, iou[None] > iou_thresh)
+        valid = s > score_thresh
+        keep = _greedy_fixpoint(dom, valid)         # (C,K)
+        sk_out = jnp.where(keep, s, 0.0)
+        cls = jax.lax.broadcasted_iota(jnp.int32, (c, topk), 0)
+        bk_all = jnp.broadcast_to(bk[None], (c, topk, 4)).reshape(-1, 4)
+        sk_out, cls = sk_out.reshape(-1), cls.reshape(-1)
+        d = min(max_det, sk_out.shape[0])
+        s_top, i_top = jax.lax.top_k(sk_out, d)
+        bk_all, cls = bk_all[i_top], cls[i_top]
+        if d < max_det:               # keep the advertised static shape
+            pad = max_det - d
+            bk_all = jnp.pad(bk_all, ((0, pad), (0, 0)))
+            s_top = jnp.pad(s_top, (0, pad))
+            cls = jnp.pad(cls, (0, pad))
+        return bk_all, s_top, cls
+
+    return jax.vmap(per_image)(b_xyxy, scores)
+
+
+@partial(jax.jit, static_argnames=("iou_thresh", "score_thresh", "topk",
+                                   "max_det"))
+def device_nms_seq(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   iou_thresh: float = NMS_IOU_THRESH,
+                   score_thresh: float = SCORE_THRESH_VIS,
+                   topk: int = MAX_DETECTIONS,
+                   max_det: int = MAX_DETECTIONS):
+    """Round-4 sequential formulation (per-class top-K + K-step
+    ``fori_loop`` greedy): kept as the device-side A/B baseline and a
+    second oracle for the fixpoint implementation."""
+    b_xyxy = cxcywh_to_xyxy(boxes)
+    topk = min(topk, boxes.shape[1])
 
     def per_class(bx, sc):           # bx (M,4), sc (M,)
         sc_k, idx = jax.lax.top_k(sc, topk)

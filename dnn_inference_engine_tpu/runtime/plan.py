@@ -627,7 +627,8 @@ def _to_f32(t, s):
 
 def _defold(x, cur_fold):
     assert cur_fold >= 1, (
-        "shifted fold-2 state (-2) must feed a fold_xla_k2 f=2 stage")
+        "shifted fold-2 state (negative sentinel) must feed a "
+        "fold_xla_k2 f=2 stage")
     return (depth_to_space(x, cur_fold), 1) if cur_fold > 1 else (x, 1)
 
 
@@ -732,22 +733,20 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
         s_out = s_next
         ho_wo = None      # (ho, wo) override when trim can't express it
         trim = 2          # junk rows/cols of the 2f-1 pad, sliced post-conv
-        if cur_fold == -2:
+        if cur_fold < 0:
             # a fold_xla_s2 producer already emitted the shifted fold-2
             # layout (gmax_shift_s2d2: W/2+1 columns, junk zero rows to
-            # a multiple of 8) — consume it directly, no relayout at all
+            # a multiple of 8) — consume it directly, no relayout at
+            # all. The sentinel's magnitude carries the producer's TRUE
+            # output row count (H/2), which is NOT recoverable from the
+            # 8-rounded padded height (round-4 advisor #3: deriving it
+            # from the width silently broke non-square inputs).
             assert f == 2, st
-            # the true output row count (H/2) is NOT recoverable from
-            # the producer's 8-rounded padded height, so both output
-            # dims derive from the width — only valid for square
-            # inputs (all supported models are; round-4 advisor #3).
-            # For a square input the producer's padded height is
-            # exactly round8(W/2) = round8(x.shape[2]-1); anything else
-            # means a non-square input reached this consumer.
-            assert x.shape[1] == -(-(x.shape[2] - 1) // 8) * 8, (
-                "fold_xla_s2 -> fold_xla_k2 consumer requires square "
-                f"spatial input; got padded {x.shape}")
-            ho_wo = (x.shape[2] - 1, x.shape[2] - 1)
+            ho = -cur_fold
+            assert x.shape[1] == -(-(ho + 1) // 8) * 8, (
+                "shifted fold-2 payload height inconsistent with the "
+                f"producer's row count: padded {x.shape}, ho={ho}")
+            ho_wo = (ho, x.shape[2] - 1)
             cur_fold = 1
         elif cur_scale is None:
             cur_scale = jnp.float32(act_scales[li])
@@ -892,7 +891,10 @@ def _run_stage(layers, st, pp, x, cur_scale, cur_fold, act_scales, saved,
                 from dnn_inference_engine_tpu.ops.pallas_conv import (
                     gmax_shift_s2d2)
                 assert f == 2, st
-                return gmax_shift_s2d2(y, go=cout), s_out, -2
+                # negative sentinel: shifted fold-2 state; magnitude =
+                # the true output row count H/2 (the consumer cannot
+                # recover it from the 8-rounded padded height)
+                return gmax_shift_s2d2(y, go=cout), s_out, -(y.shape[1] // 2)
             # pool-major group-max on the requantized s8 tensor: 3 vector
             # maxes over contiguous channel slices; the surviving
             # (a*(f/2)+b, co) group order IS the fold-(f/2) layout.

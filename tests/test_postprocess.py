@@ -80,6 +80,55 @@ def test_device_nms_suppresses_overlaps():
                                [0.9, 0.7], rtol=1e-6)
 
 
+def test_device_nms_fixpoint_matches_seq(rng):
+    """The Jacobi-fixpoint formulation must be output-identical to the
+    round-4 sequential formulation whenever no candidate truncation
+    happens (both are exactly greedy then)."""
+    from dnn_inference_engine_tpu.postprocess import device_nms_seq
+    for trial in range(4):
+        m, c = 150, 6
+        boxes = np.stack([
+            rng.uniform(50, 350, m), rng.uniform(50, 350, m),
+            rng.uniform(10, 120, m), rng.uniform(10, 120, m)],
+            axis=-1).astype(np.float32)
+        scores = (rng.uniform(0, 1, (m, c)) ** 2).astype(np.float32)
+        a = device_nms(jnp.asarray(boxes)[None], jnp.asarray(scores)[None],
+                       iou_thresh=0.45, score_thresh=0.2, topk=m,
+                       max_det=64)
+        b = device_nms_seq(jnp.asarray(boxes)[None],
+                           jnp.asarray(scores)[None],
+                           iou_thresh=0.45, score_thresh=0.2, topk=m,
+                           max_det=64)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"trial {trial}")
+
+
+def test_device_nms_deep_suppression_chain():
+    """Worst case for the fixpoint iteration: a long chain of boxes
+    where each suppresses only its immediate neighbour (spacing 10,
+    width 40: neighbour IoU 0.6 > 0.45, next-neighbour 0.33 < 0.45).
+    Greedy keeps every other box; the fixpoint must reproduce that
+    exactly (and agree with the host oracle)."""
+    n = 24
+    cx = 100 + 10 * np.arange(n, dtype=np.float32)
+    boxes = np.stack([cx, np.full(n, 100, np.float32),
+                      np.full(n, 40, np.float32),
+                      np.full(n, 40, np.float32)], axis=-1)
+    scores = np.linspace(0.9, 0.4, n, dtype=np.float32)[:, None]
+    db, ds, dc = device_nms(jnp.asarray(boxes)[None],
+                            jnp.asarray(scores)[None],
+                            iou_thresh=0.45, score_thresh=0.1,
+                            topk=n, max_det=n)
+    hb, hs, hc = host_nms(boxes, scores, iou_thresh=0.45,
+                          score_thresh=0.1, max_det=n)
+    ds = np.asarray(ds[0])
+    n_dev = int((ds > 0).sum())
+    assert n_dev == len(hs) == n // 2, (n_dev, len(hs))
+    np.testing.assert_allclose(ds[:n_dev], hs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(db[0])[:n_dev], hb, rtol=1e-5)
+
+
 def test_cxcywh_to_xyxy():
     b = np.array([[10, 20, 4, 8]], np.float32)
     np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(b)),
