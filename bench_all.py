@@ -276,6 +276,43 @@ def bench_serve(n_images: int = 2048):
     }
 
 
+def bench_b1_detect_latency():
+    """Batch-1 FULL-detect latency decomposition (BASELINE's p50
+    per-image latency metric; round-4 verdict task 1). Reports the
+    device time of forward-only vs full detect (forward + decode +
+    fixpoint NMS) so postprocess regressions are attributable, plus
+    wall p50 (dispatch + relay transport on this sandbox)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dnn_inference_engine_tpu.config import EngineConfig
+    from dnn_inference_engine_tpu.runtime.benchlib import (per_iter_time,
+                                                           wall_time)
+    from dnn_inference_engine_tpu.runtime.engine import Engine
+
+    eng = Engine(EngineConfig(model="yolov2-tiny", mode="w8a8",
+                              kernel="auto", batch=1)).load_weights(
+        key=jax.random.PRNGKey(0)).prepare()
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (1, 416, 416, 3)), jnp.uint8)
+    fwd = lambda xx: eng._fwd(eng.exec_params, xx)
+    det = eng.detect_fn()
+    t_fwd = per_iter_time(fwd, (x,), stat="min")
+    t_det = per_iter_time(lambda xx: det(eng.exec_params, xx), (x,),
+                          stat="min")
+    t_wall = wall_time(lambda xx: det(eng.exec_params, xx), (x,))
+    return {
+        "forward_device_ms": round(t_fwd * 1e3, 4),
+        "detect_device_ms": round(t_det * 1e3, 4),
+        "postprocess_device_ms": round((t_det - t_fwd) * 1e3, 4),
+        "p50_wall_ms": round(t_wall * 1e3, 2),
+        "nms": "fixpoint, candidate pool 256 (EngineConfig.nms_topk)",
+        "note": "round-4 formulation measured 0.459 ms detect / 0.312 "
+                "postprocess at the same point (tools/ab_nms.py); wall "
+                "p50 is relay-transport-bound in this sandbox",
+    }
+
+
 def main():
     import jax
     results = {"backend": jax.default_backend(), "configs": {}}
@@ -324,6 +361,13 @@ def main():
     except Exception as e:
         results["configs"]["7_serve"] = {"error": str(e)}
     print(json.dumps({"7_serve": results["configs"]["7_serve"]}),
+          flush=True)
+    try:
+        results["configs"]["8_b1_detect_latency"] = bench_b1_detect_latency()
+    except Exception as e:
+        results["configs"]["8_b1_detect_latency"] = {"error": str(e)}
+    print(json.dumps({"8_b1_detect_latency":
+                      results["configs"]["8_b1_detect_latency"]}),
           flush=True)
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
