@@ -29,6 +29,9 @@ def _add_common(p):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--config", default=None, help="JSON EngineConfig file")
     p.add_argument("--score-thresh", type=float, default=None)
+    p.add_argument("--nms-topk", type=int, default=None,
+                   help="NMS candidate pool (default 256; 128 for "
+                        "latency-critical serving — config.py NMS_TOPK)")
     p.add_argument("--mesh", default=None, metavar="DP,MP",
                    help="(data, model) mesh shape, e.g. 2,2 — shards the "
                         "whole pipeline over the devices (SURVEY.md N2)")
@@ -57,6 +60,8 @@ def _build_engine(args):
     cfg.weights = args.weights or cfg.weights
     if getattr(args, "score_thresh", None) is not None:
         cfg.score_thresh = args.score_thresh
+    if getattr(args, "nms_topk", None) is not None:
+        cfg.nms_topk = args.nms_topk
     if getattr(args, "strategy", None):
         cfg.strategy = args.strategy
     if getattr(args, "mesh", None):

@@ -143,30 +143,49 @@ def _greedy_suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
     return keep
 
 
-def _greedy_fixpoint(dom: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def _greedy_fixpoint(s: jnp.ndarray, oidx: jnp.ndarray,
+                     iou_hit: jnp.ndarray,
+                     valid: jnp.ndarray) -> jnp.ndarray:
     """Exact greedy NMS keep masks as a Jacobi fixpoint.
 
-    dom (C, K, K) bool: dom[c, j, i] means candidate j both PRECEDES i
-    in class-c greedy order (higher score, index tie-break) and
-    overlaps it past the IoU threshold. valid (C, K): above the score
-    threshold. Greedy's keep is the unique solution of
+    s (C, K) per-class candidate scores; oidx (K,) original candidate
+    indices (host-oracle tie-break order); iou_hit (K, K) bool
+    (pairwise IoU above the threshold); valid (C, K): above the score
+    threshold. The dominance relation
 
-        keep[i] = valid[i] and not any(dom[j, i] and keep[j])
+        dom[c, j, i] = j precedes i in class-c greedy order
+                       (score desc, index tie-break) AND iou_hit[j, i]
 
-    because dom restricted to the precedence order is a DAG. Jacobi
-    iteration from keep0 = valid makes every candidate of suppression
-    depth <= t correct after t+1 sweeps, so ``lax.while_loop`` with a
-    convergence test terminates in (longest suppression chain + 2)
-    iterations — typically 2-5 for real detections, vs the
-    always-K sequential steps of ``_greedy_suppress`` (the round-4
-    trace put that ``fori_loop`` at 166 us of the 462 us batch-1
-    detect). Worst case is still K sweeps (safety bound), same
-    per-sweep cost as one fori_loop step over the whole matrix.
+    is a DAG (precedence is a strict order), so greedy's keep is the
+    unique solution of
+
+        keep[i] = valid[i] and not any(dom[j, i] and keep[j]).
+
+    Jacobi iteration from keep0 = valid makes every candidate of
+    suppression depth <= t correct after t+1 sweeps, so
+    ``lax.while_loop`` with a convergence test terminates in (longest
+    suppression chain + 2) iterations — typically 2-5 for real
+    detections, vs the always-K sequential steps of
+    ``_greedy_suppress`` (the round-4 trace put that ``fori_loop`` at
+    166 us of the 462 us batch-1 detect). Worst case is still K
+    sweeps (safety bound), same per-sweep cost as one fori_loop step
+    over the whole matrix.
+
+    The (C, K, K) dominance tensor is recomputed INSIDE each sweep
+    from s/oidx/iou_hit: XLA fuses the comparisons into the any-reduce
+    and never materializes it in HBM (at batch 32 x C=20 x K=256 a
+    materialized tensor is 42 MB read per sweep; the fused form reads
+    only s + iou_hit, ~0.3 MB per image).
     """
     k = valid.shape[-1]
 
     def step(keep):
-        sup = jnp.any(jnp.logical_and(dom, keep[..., :, None]), axis=-2)
+        prec = jnp.logical_or(
+            s[:, :, None] > s[:, None, :],
+            jnp.logical_and(s[:, :, None] == s[:, None, :],
+                            oidx[:, None] < oidx[None, :]))
+        dom = jnp.logical_and(prec, iou_hit[None])
+        sup = jnp.any(jnp.logical_and(dom, keep[:, :, None]), axis=-2)
         return jnp.logical_and(valid, jnp.logical_not(sup))
 
     def cond(st):
@@ -222,14 +241,8 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
             bk, sk = bx, sc
         iou = _pairwise_iou_xyxy(bk)                # (K,K), shared
         s = sk.T                                    # (C,K)
-        # prec[c,j,i]: j before i in class-c greedy order (strict)
-        prec = jnp.logical_or(
-            s[:, :, None] > s[:, None, :],
-            jnp.logical_and(s[:, :, None] == s[:, None, :],
-                            oidx[:, None] < oidx[None, :]))
-        dom = jnp.logical_and(prec, iou[None] > iou_thresh)
         valid = s > score_thresh
-        keep = _greedy_fixpoint(dom, valid)         # (C,K)
+        keep = _greedy_fixpoint(s, oidx, iou > iou_thresh, valid)  # (C,K)
         sk_out = jnp.where(keep, s, 0.0)
         cls = jax.lax.broadcasted_iota(jnp.int32, (c, topk), 0)
         bk_all = jnp.broadcast_to(bk[None], (c, topk, 4)).reshape(-1, 4)

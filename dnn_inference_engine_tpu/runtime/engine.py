@@ -103,7 +103,7 @@ class Engine:
                     load_strategy)
                 strategy = load_strategy(self.config.strategy)
             self._plan = build_plan(self.model, strategy,
-                                    batch=self.config.batch)
+                                    batch=self.config.batch, mode=mode)
             if (mode == "w8" and self._plan is not None
                     and any(st.kind in ("rs", "s0") for st in self._plan)):
                 self._plan = None       # int8-kernel kinds: no w8 variant
