@@ -279,8 +279,8 @@ def cmd_trace(args):
         x = jnp.asarray(np.clip(np.round(xf * 255), 0, 255), np.uint8)
     else:
         x = jnp.asarray(xf)
-    art = trace_attribution(jax.jit(eng._fwd), eng.exec_params, x,
-                            runs=args.runs)
+    fn = eng.detect_fn() if args.detect else jax.jit(eng._fwd)
+    art = trace_attribution(fn, eng.exec_params, x, runs=args.runs)
     print(f"# module device time {art['module_device_us_per_run']:.1f} us"
           f" over {art['runs_traced']} runs; ops sum "
           f"{art['sum_of_ops_us_per_run']:.1f} us")
@@ -377,6 +377,10 @@ def main(argv=None):
                             "time of the production forward")
     _add_common(p)
     p.add_argument("--runs", type=int, default=30)
+    p.add_argument("--detect", action="store_true",
+                   help="trace the FULL detect program (forward + decode "
+                        "+ NMS) instead of the forward; postprocess "
+                        "phases appear as post_decode / nms_* scopes")
     p.add_argument("--out", default=None, metavar="JSON")
     p.set_defaults(fn=cmd_trace)
 

@@ -1,12 +1,21 @@
 """Head decode + NMS (reference P2/P3; SURVEY.md section 2.4).
 
 The decode stays on-device in-graph ([B]: "NMS-ready head decode"), and the
-engine provides BOTH:
+engine provides THREE implementations:
 - ``host_nms``: numpy greedy per-class NMS — the reference-style baseline
   and the correctness oracle;
-- ``device_nms``: static-shape on-device NMS (SURVEY.md hard part 1):
-  per-class top-K candidates, precomputed IoU matrix, K-step masked greedy
-  suppression under ``lax.fori_loop`` — no dynamic shapes anywhere.
+- ``device_nms``: static-shape on-device NMS (SURVEY.md hard part 1),
+  round-5 fixpoint formulation: one class-agnostic candidate top-K, one
+  shared IoU matrix, per-class greedy suppression as a Jacobi fixpoint
+  on the suppression DAG (``_greedy_fixpoint``) — exactly greedy, no
+  dynamic shapes, converges in chain-depth sweeps;
+- ``device_nms_seq``: the round-4 sequential formulation (per-class
+  top-K + K-step ``lax.fori_loop``), kept as the A/B baseline and a
+  second oracle.
+
+Named scopes (``post_decode``, ``nms_candidates``, ``nms_suppress``,
+``nms_merge``) let ``runtime/profiling.trace_attribution`` decompose
+detect-path device time per phase.
 
 Box convention: (cx, cy, w, h) in network-input pixels ([0, 416]) out of
 decode; (x1, y1, x2, y2) inside NMS/eval.
@@ -55,16 +64,17 @@ def decode_yolov2(head: jnp.ndarray,
     row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
     anc = jnp.asarray(anchors, jnp.float32)            # (A, 2) cell units
 
-    bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
-    by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
-    bw = anc[:, 0] * jnp.exp(head[..., 2]) * cell_px
-    bh = anc[:, 1] * jnp.exp(head[..., 3]) * cell_px
-    obj = jax.nn.sigmoid(head[..., 4])
-    cls = jax.nn.softmax(head[..., 5:], axis=-1)
-    scores = obj[..., None] * cls
+    with jax.named_scope("post_decode"):
+        bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
+        by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
+        bw = anc[:, 0] * jnp.exp(head[..., 2]) * cell_px
+        bh = anc[:, 1] * jnp.exp(head[..., 3]) * cell_px
+        obj = jax.nn.sigmoid(head[..., 4])
+        cls = jax.nn.softmax(head[..., 5:], axis=-1)
+        scores = obj[..., None] * cls
 
-    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-    return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+        boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+        return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
 
 
 def decode_yolov3(head: jnp.ndarray, anchors_px,
@@ -80,16 +90,17 @@ def decode_yolov3(head: jnp.ndarray, anchors_px,
     row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
     anc = jnp.asarray(anchors_px, jnp.float32)
 
-    bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
-    by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
-    bw = anc[:, 0] * jnp.exp(head[..., 2])
-    bh = anc[:, 1] * jnp.exp(head[..., 3])
-    obj = jax.nn.sigmoid(head[..., 4])
-    cls = jax.nn.sigmoid(head[..., 5:])                 # multi-label
-    scores = obj[..., None] * cls
+    with jax.named_scope("post_decode"):
+        bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
+        by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
+        bw = anc[:, 0] * jnp.exp(head[..., 2])
+        bh = anc[:, 1] * jnp.exp(head[..., 3])
+        obj = jax.nn.sigmoid(head[..., 4])
+        cls = jax.nn.sigmoid(head[..., 5:])             # multi-label
+        scores = obj[..., None] * cls
 
-    boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-    return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+        boxes = jnp.stack([bx, by, bw, bh], axis=-1)
+        return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
 
 
 def cxcywh_to_xyxy(boxes):
@@ -232,30 +243,34 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     def per_image(bx, sc):           # bx (M,4), sc (M,C)
         c = sc.shape[-1]
-        if topk < m:
-            best = jnp.max(sc, axis=-1)
-            _, oidx = jax.lax.top_k(best, topk)     # (K,) original indices
-            bk, sk = bx[oidx], sc[oidx]             # (K,4), (K,C)
-        else:
-            oidx = jax.lax.iota(jnp.int32, m)
-            bk, sk = bx, sc
-        iou = _pairwise_iou_xyxy(bk)                # (K,K), shared
-        s = sk.T                                    # (C,K)
-        valid = s > score_thresh
-        keep = _greedy_fixpoint(s, oidx, iou > iou_thresh, valid)  # (C,K)
-        sk_out = jnp.where(keep, s, 0.0)
-        cls = jax.lax.broadcasted_iota(jnp.int32, (c, topk), 0)
-        bk_all = jnp.broadcast_to(bk[None], (c, topk, 4)).reshape(-1, 4)
-        sk_out, cls = sk_out.reshape(-1), cls.reshape(-1)
-        d = min(max_det, sk_out.shape[0])
-        s_top, i_top = jax.lax.top_k(sk_out, d)
-        bk_all, cls = bk_all[i_top], cls[i_top]
-        if d < max_det:               # keep the advertised static shape
-            pad = max_det - d
-            bk_all = jnp.pad(bk_all, ((0, pad), (0, 0)))
-            s_top = jnp.pad(s_top, (0, pad))
-            cls = jnp.pad(cls, (0, pad))
-        return bk_all, s_top, cls
+        with jax.named_scope("nms_candidates"):
+            if topk < m:
+                best = jnp.max(sc, axis=-1)
+                _, oidx = jax.lax.top_k(best, topk)  # (K,) original indices
+                bk, sk = bx[oidx], sc[oidx]          # (K,4), (K,C)
+            else:
+                oidx = jax.lax.iota(jnp.int32, m)
+                bk, sk = bx, sc
+        with jax.named_scope("nms_suppress"):
+            iou = _pairwise_iou_xyxy(bk)             # (K,K), shared
+            s = sk.T                                 # (C,K)
+            valid = s > score_thresh
+            keep = _greedy_fixpoint(s, oidx, iou > iou_thresh,
+                                    valid)           # (C,K)
+        with jax.named_scope("nms_merge"):
+            sk_out = jnp.where(keep, s, 0.0)
+            cls = jax.lax.broadcasted_iota(jnp.int32, (c, topk), 0)
+            bk_all = jnp.broadcast_to(bk[None], (c, topk, 4)).reshape(-1, 4)
+            sk_out, cls = sk_out.reshape(-1), cls.reshape(-1)
+            d = min(max_det, sk_out.shape[0])
+            s_top, i_top = jax.lax.top_k(sk_out, d)
+            bk_all, cls = bk_all[i_top], cls[i_top]
+            if d < max_det:           # keep the advertised static shape
+                pad = max_det - d
+                bk_all = jnp.pad(bk_all, ((0, pad), (0, 0)))
+                s_top = jnp.pad(s_top, (0, pad))
+                cls = jnp.pad(cls, (0, pad))
+            return bk_all, s_top, cls
 
     return jax.vmap(per_image)(b_xyxy, scores)
 

@@ -259,6 +259,20 @@ _W8_BATCH_STRATEGIES: Dict[Tuple[str, int], Dict] = {
         8: ("xla", 1), 10: ("xla", 1),
         12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1),
     },
+    # docs/SWEEP_yolov3_w8_b16.json: 2.0074 ms/batch = 8.0k img/s
+    # (quick set, 2 passes) vs 2.05 inheriting the w8a8 table — the
+    # inherited choice was near-optimal here; the measured difference
+    # is the stem (plain k3 fold beats the k2 shifted stem kinds in
+    # bf16, where the 4f^2/9 MAC saving matters less than the shift
+    # bookkeeping).
+    ("yolov3-tiny", 16): {
+        0: ("fold_xla", 4, {"cin_pad": 64}),
+        2: ("fold_xla", 2),
+        4: ("xla", 1),
+        6: ("xla", 1), 8: ("xla", 1), 10: ("xla", 1),
+        12: ("xla", 1), 13: ("xla", 1), 14: ("xla", 1),
+        15: ("xla", 1), 17: ("xla", 1), 20: ("xla", 1), 21: ("xla", 1),
+    },
 }
 
 

@@ -63,7 +63,9 @@ def layer_scope(li: int, layer) -> "contextlib.AbstractContextManager":
 
 import re  # noqa: E402
 
-_STAGE_RE = re.compile(r"(stage\d+_[a-z0-9_]+?_L\d+(?:_fold\d+)?)")
+_STAGE_RE = re.compile(
+    r"(stage\d+_[a-z0-9_]+?_L\d+(?:_fold\d+)?"
+    r"|post_decode|nms_candidates|nms_suppress|nms_merge)")
 _NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*\S+\s+([\w\-]+)\(")
 _OPNAME_RE = re.compile(r"op_name=\"([^\"]*)\"")
 

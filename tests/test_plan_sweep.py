@@ -159,6 +159,13 @@ def test_committed_yolov2_w8_b1_sweep_pins_table():
                                 3_000)
 
 
+def test_committed_yolov3_w8_b16_sweep_pins_table():
+    from dnn_inference_engine_tpu.runtime.plan import _W8_BATCH_STRATEGIES
+    _assert_artifact_pins_table("SWEEP_yolov3_w8_b16.json",
+                                _W8_BATCH_STRATEGIES[("yolov3-tiny", 16)],
+                                6_000)
+
+
 def test_w8_mode_selects_w8_pin():
     """default_strategy must route (model, w8, batch) to the w8 pin and
     leave w8a8 lookups untouched."""
