@@ -166,6 +166,23 @@ def test_committed_yolov3_w8_b16_sweep_pins_table():
                                 6_000)
 
 
+def test_committed_resnet18_w8_sweep_confirms_all_xla():
+    """resnet18 w8 b32 swept all-xla as the winner
+    (docs/SWEEP_resnet18_w8_b32.json, 1.2719 ms = 25.2k img/s, 0
+    crashes) — which IS the no-entry default, so there is no table to
+    pin; this asserts the artifact and the default stay in agreement."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "SWEEP_resnet18_w8_b32.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["backend"] == "tpu" and art["mode"] == "w8"
+    assert all(v[0] == "xla" for v in art["strategy"].values()), art
+    from dnn_inference_engine_tpu.runtime.plan import default_strategy
+    assert default_strategy("resnet18", 32, mode="w8") == {}
+    assert 15_000 < art["images_per_s"] <= 56_600, art["images_per_s"]
+
+
 def test_w8_mode_selects_w8_pin():
     """default_strategy must route (model, w8, batch) to the w8 pin and
     leave w8a8 lookups untouched."""
