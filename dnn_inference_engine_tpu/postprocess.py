@@ -57,24 +57,35 @@ def decode_yolov2(head: jnp.ndarray,
     """
     n, s, _, _ = head.shape
     a = len(anchors)
-    head = head.reshape(n, s, s, a, 5 + num_classes)
+    e = 5 + num_classes
     cell_px = input_size / s
-
-    col = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 1)
-    row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
+    # (N, M=S*S*A, E) with m = (row*S + col)*A + anchor — a FREE
+    # row-major reshape. Decoding in the 5-D (N,S,S,A,E) shape puts the
+    # tiny A/C dims in the tiled minor positions (A=5 -> 8 sublanes,
+    # C=20 -> 128 lanes) and XLA's emitter loops (13,13,N) with ~3%
+    # vector fill: the round-5 b32 detect trace measured that decode
+    # fusion at 1.34 ms of the 4.4 ms module. Here the big M dim fills
+    # the sublanes and E=25 the lanes.
+    x = head.reshape(n, s * s * a, e)
+    m = s * s * a
+    mi = jax.lax.iota(jnp.float32, m)
+    col = jnp.floor(mi / a) % s                        # cell col per m
+    row = jnp.floor(mi / (a * s))                      # cell row per m
     anc = jnp.asarray(anchors, jnp.float32)            # (A, 2) cell units
+    anc_w = jnp.tile(anc[:, 0], s * s)                 # (M,)
+    anc_h = jnp.tile(anc[:, 1], s * s)
 
     with jax.named_scope("post_decode"):
-        bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
-        by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
-        bw = anc[:, 0] * jnp.exp(head[..., 2]) * cell_px
-        bh = anc[:, 1] * jnp.exp(head[..., 3]) * cell_px
-        obj = jax.nn.sigmoid(head[..., 4])
-        cls = jax.nn.softmax(head[..., 5:], axis=-1)
+        bx = (col + jax.nn.sigmoid(x[..., 0])) * cell_px
+        by = (row + jax.nn.sigmoid(x[..., 1])) * cell_px
+        bw = anc_w * jnp.exp(x[..., 2]) * cell_px
+        bh = anc_h * jnp.exp(x[..., 3]) * cell_px
+        obj = jax.nn.sigmoid(x[..., 4])
+        cls = jax.nn.softmax(x[..., 5:], axis=-1)
         scores = obj[..., None] * cls
 
         boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-        return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+        return boxes, scores
 
 
 def decode_yolov3(head: jnp.ndarray, anchors_px,
@@ -83,24 +94,29 @@ def decode_yolov3(head: jnp.ndarray, anchors_px,
     """YOLOv3 head decode: anchors in pixels, sigmoid class scores."""
     n, s, _, _ = head.shape
     a = len(anchors_px)
-    head = head.reshape(n, s, s, a, 5 + num_classes)
+    e = 5 + num_classes
     cell_px = input_size / s
-
-    col = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 1)
-    row = jax.lax.broadcasted_iota(jnp.float32, (s, s, a), 0)
+    # same (N, M, E) flat-decode as decode_yolov2 (see its layout note)
+    x = head.reshape(n, s * s * a, e)
+    m = s * s * a
+    mi = jax.lax.iota(jnp.float32, m)
+    col = jnp.floor(mi / a) % s
+    row = jnp.floor(mi / (a * s))
     anc = jnp.asarray(anchors_px, jnp.float32)
+    anc_w = jnp.tile(anc[:, 0], s * s)
+    anc_h = jnp.tile(anc[:, 1], s * s)
 
     with jax.named_scope("post_decode"):
-        bx = (col + jax.nn.sigmoid(head[..., 0])) * cell_px
-        by = (row + jax.nn.sigmoid(head[..., 1])) * cell_px
-        bw = anc[:, 0] * jnp.exp(head[..., 2])
-        bh = anc[:, 1] * jnp.exp(head[..., 3])
-        obj = jax.nn.sigmoid(head[..., 4])
-        cls = jax.nn.sigmoid(head[..., 5:])             # multi-label
+        bx = (col + jax.nn.sigmoid(x[..., 0])) * cell_px
+        by = (row + jax.nn.sigmoid(x[..., 1])) * cell_px
+        bw = anc_w * jnp.exp(x[..., 2])
+        bh = anc_h * jnp.exp(x[..., 3])
+        obj = jax.nn.sigmoid(x[..., 4])
+        cls = jax.nn.sigmoid(x[..., 5:])                # multi-label
         scores = obj[..., None] * cls
 
         boxes = jnp.stack([bx, by, bw, bh], axis=-1)
-        return boxes.reshape(n, -1, 4), scores.reshape(n, -1, num_classes)
+        return boxes, scores
 
 
 def cxcywh_to_xyxy(boxes):
@@ -154,23 +170,37 @@ def _greedy_suppress(boxes_xyxy: jnp.ndarray, scores: jnp.ndarray,
     return keep
 
 
+def _pack_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """(…, K) bool -> (…, ceil(K/32)) uint32 bitset over the last axis
+    (bit b of word w = element w*32+b; K zero-padded to a multiple of
+    32). The per-word sum is exact (bits are disjoint — it IS the or)."""
+    k = x.shape[-1]
+    kp = -(-k // 32) * 32
+    if kp != k:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, kp - k)])
+    xr = x.reshape(*x.shape[:-1], kp // 32, 32).astype(jnp.uint32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return (xr * weights).sum(axis=-1, dtype=jnp.uint32)
+
+
 def _greedy_fixpoint(s: jnp.ndarray, oidx: jnp.ndarray,
                      iou_hit: jnp.ndarray,
                      valid: jnp.ndarray) -> jnp.ndarray:
-    """Exact greedy NMS keep masks as a Jacobi fixpoint.
+    """Exact greedy NMS keep masks as a Jacobi fixpoint over a
+    bit-packed dominance matrix.
 
     s (C, K) per-class candidate scores; oidx (K,) original candidate
     indices (host-oracle tie-break order); iou_hit (K, K) bool
     (pairwise IoU above the threshold); valid (C, K): above the score
     threshold. The dominance relation
 
-        dom[c, j, i] = j precedes i in class-c greedy order
-                       (score desc, index tie-break) AND iou_hit[j, i]
+        dom[c, i, j] = j precedes i in class-c greedy order
+                       (score desc, index tie-break) AND iou_hit[i, j]
 
     is a DAG (precedence is a strict order), so greedy's keep is the
     unique solution of
 
-        keep[i] = valid[i] and not any(dom[j, i] and keep[j]).
+        keep[i] = valid[i] and not any_j(dom[i, j] and keep[j]).
 
     Jacobi iteration from keep0 = valid makes every candidate of
     suppression depth <= t correct after t+1 sweeps, so
@@ -179,24 +209,28 @@ def _greedy_fixpoint(s: jnp.ndarray, oidx: jnp.ndarray,
     detections, vs the always-K sequential steps of
     ``_greedy_suppress`` (the round-4 trace put that ``fori_loop`` at
     166 us of the 462 us batch-1 detect). Worst case is still K
-    sweeps (safety bound), same per-sweep cost as one fori_loop step
-    over the whole matrix.
+    sweeps (safety bound).
 
-    The (C, K, K) dominance tensor is recomputed INSIDE each sweep
-    from s/oidx/iou_hit: XLA fuses the comparisons into the any-reduce
-    and never materializes it in HBM (at batch 32 x C=20 x K=256 a
-    materialized tensor is 42 MB read per sweep; the fused form reads
-    only s + iou_hit, ~0.3 MB per image).
+    dom is built ONCE and bit-packed over the suppressor axis j into
+    uint32 words (32x smaller: 1.3 MB instead of 42 MB at batch 32 x
+    C=20 x K=256), so each sweep is a word-wise AND + any over
+    K/32 words. The round-5 b32 detect trace showed the per-sweep
+    recompute/reread of the full (C, K, K) relation costing ~2.9 ms
+    of the 4.8 ms module (docs/TRACE_DETECT_b32.json); the packed
+    sweeps read 32x less.
     """
     k = valid.shape[-1]
+    # dom oriented (C, i, j) so the pack runs over the last axis
+    prec_t = jnp.logical_or(
+        s[:, None, :] > s[:, :, None],
+        jnp.logical_and(s[:, None, :] == s[:, :, None],
+                        oidx[None, :] < oidx[:, None]))
+    dom_p = _pack_bits(jnp.logical_and(prec_t, iou_hit[None]))  # (C,K,W)
 
     def step(keep):
-        prec = jnp.logical_or(
-            s[:, :, None] > s[:, None, :],
-            jnp.logical_and(s[:, :, None] == s[:, None, :],
-                            oidx[:, None] < oidx[None, :]))
-        dom = jnp.logical_and(prec, iou_hit[None])
-        sup = jnp.any(jnp.logical_and(dom, keep[:, :, None]), axis=-2)
+        kp = _pack_bits(keep)                      # (C, W)
+        hits = jnp.bitwise_and(dom_p, kp[:, None, :])
+        sup = jnp.any(hits != 0, axis=-1)
         return jnp.logical_and(valid, jnp.logical_not(sup))
 
     def cond(st):

@@ -66,7 +66,14 @@ import re  # noqa: E402
 _STAGE_RE = re.compile(
     r"(stage\d+_[a-z0-9_]+?_L\d+(?:_fold\d+)?"
     r"|post_decode|nms_candidates|nms_suppress|nms_merge)")
-_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*\S+\s+([\w\-]+)\(")
+# the type between '=' and the opcode may be a TUPLE containing spaces
+# and nested parens — '(f32[...]{...:T(8,128)S(1)}, f32[...])' — so
+# scan non-greedily to the first space-preceded lowercase token before
+# a '(' (HLO opcodes are lowercase; tile/space tags T(/S( are not
+# space-preceded). Round-5 fix: tuple-typed fusions (e.g. the decode)
+# were silently landing in unattributed/?.
+_NAME_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*.*?\s([a-z][\w\-]*)\(")
 _OPNAME_RE = re.compile(r"op_name=\"([^\"]*)\"")
 
 

@@ -43,9 +43,13 @@ def main() -> None:
         def detect_with(nms, xx):
             heads = eng._fwd(params, xx)
             boxes, scores = eng._decode(heads)
+            # production candidate pool for the fixpoint formulation;
+            # the seq baseline's topk is its per-class cap (128)
+            topk = (c.nms_topk if nms is pp.device_nms
+                    else c.max_detections)
             return nms(boxes, scores, iou_thresh=c.nms_iou_thresh,
                        score_thresh=c.score_thresh,
-                       topk=c.max_detections, max_det=c.max_detections)
+                       topk=topk, max_det=c.max_detections)
 
         # exactness on the live head: SURVIVOR rows only (zero-score
         # slots carry arbitrary boxes in both formulations), at the
