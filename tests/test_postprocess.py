@@ -129,6 +129,22 @@ def test_device_nms_deep_suppression_chain():
     np.testing.assert_allclose(np.asarray(db[0])[:n_dev], hb, rtol=1e-5)
 
 
+def test_pack_bits(rng):
+    """Bitset packing: bit b of word w == element w*32+b, zero-padded
+    to a word multiple, exact for every shape the NMS uses."""
+    from dnn_inference_engine_tpu.postprocess import _pack_bits
+    for shape in ((7,), (3, 33), (2, 4, 64), (5, 150)):
+        x = rng.uniform(0, 1, shape) > 0.5
+        p = np.asarray(_pack_bits(jnp.asarray(x)))
+        k = shape[-1]
+        w = -(-k // 32)
+        assert p.shape == shape[:-1] + (w,)
+        for idx in np.ndindex(*shape[:-1]):
+            for j in range(k):
+                bit = (p[idx + (j // 32,)] >> np.uint32(j % 32)) & 1
+                assert bool(bit) == bool(x[idx + (j,)]), (shape, idx, j)
+
+
 def test_cxcywh_to_xyxy():
     b = np.array([[10, 20, 4, 8]], np.float32)
     np.testing.assert_allclose(np.asarray(cxcywh_to_xyxy(b)),
