@@ -52,11 +52,18 @@ NMS_IOU_THRESH = 0.45
 MAX_DETECTIONS = 128      # static top-K for on-device NMS (SURVEY.md section 7)
 # Candidate pool for the fixpoint device NMS: the class-agnostic top-K
 # boxes (by best class score) that enter suppression. 256 measured
-# survivor-converged even on an uncalibrated synthetic head where 128
-# truncates (tools/ab_nms.py round-5 sweep: 128 -> 41 survivors,
-# 256/512/845 -> 90), at +25 us on batch-1 detect; latency-critical
-# serving can drop it to 128 via EngineConfig.nms_topk.
+# survivor-converged on an uncalibrated synthetic head at the 0.3
+# serving threshold (tools/ab_nms.py round-5 sweep: 128 -> 41
+# survivors, 256/512/845 -> 90), at +25 us on batch-1 detect.
+# TRUNCATION IS A HIGH-THRESHOLD OPTIMIZATION: at low/eval thresholds
+# (e.g. 0.005-0.04) far more than 256 candidates clear the bar and a
+# capped pool costs recall (TPU-lane measurement: production-proxy mAP
+# 0.758 capped at 256 vs 0.887 uncapped). EngineConfig therefore
+# resolves the pool ADAPTIVELY unless nms_topk is set explicitly:
+# NMS_TOPK when score_thresh >= NMS_TRUNCATION_MIN_THRESH, the full
+# candidate set below it.
 NMS_TOPK = 256
+NMS_TRUNCATION_MIN_THRESH = 0.25
 
 # Quantization semantics (SURVEY.md section 2.2 / hard part 5):
 #  - symmetric int8, clip to [-127, 127] (no -128, keeps symmetry)
@@ -95,7 +102,10 @@ class EngineConfig:
     score_thresh: float = SCORE_THRESH_VIS
     nms_iou_thresh: float = NMS_IOU_THRESH
     max_detections: int = MAX_DETECTIONS
-    nms_topk: int = NMS_TOPK           # NMS candidate pool (see NMS_TOPK)
+    # NMS candidate pool: None = adaptive (see NMS_TOPK — capped at
+    # serving thresholds, uncapped at eval-grade thresholds where a cap
+    # costs recall); an int caps it explicitly.
+    nms_topk: Optional[int] = None
 
     # Serving (SURVEY.md N1)
     serve_max_batch: int = 32
@@ -108,6 +118,18 @@ class EngineConfig:
     # {layer: [kind, fold, opts?]} JSON). When set, the fused plan uses
     # the measured strategy instead of the built-in hand table.
     strategy: Optional[str] = None
+
+    def resolved_nms_topk(self) -> int:
+        """Candidate-pool size the detect path should compile with.
+        Explicit nms_topk wins; otherwise NMS_TOPK at serving-grade
+        score thresholds and "unbounded" (clamped to the candidate
+        count by device_nms) at eval-grade thresholds, where a cap
+        measurably costs recall (see NMS_TOPK)."""
+        if self.nms_topk is not None:
+            return self.nms_topk
+        if self.score_thresh >= NMS_TRUNCATION_MIN_THRESH:
+            return NMS_TOPK
+        return 1 << 30
 
     @classmethod
     def from_json(cls, path: str) -> "EngineConfig":

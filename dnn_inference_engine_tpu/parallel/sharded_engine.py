@@ -192,7 +192,7 @@ def make_sharded_detect_fn(engine, mesh: Mesh):
         return device_nms(boxes, scores,
                           iou_thresh=cfg.nms_iou_thresh,
                           score_thresh=cfg.score_thresh,
-                          topk=cfg.nms_topk,
+                          topk=cfg.resolved_nms_topk(),
                           max_det=cfg.max_detections)
 
     in_specs = (_param_in_specs(engine), P("data", None, None, None))

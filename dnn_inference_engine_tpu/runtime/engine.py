@@ -235,7 +235,7 @@ class Engine:
                 return device_nms(boxes, scores,
                                   iou_thresh=c.nms_iou_thresh,
                                   score_thresh=c.score_thresh,
-                                  topk=c.nms_topk,
+                                  topk=c.resolved_nms_topk(),
                                   max_det=c.max_detections)
             self._detect_fn = jax.jit(run)
         return self._detect_fn

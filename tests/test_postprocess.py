@@ -129,6 +129,22 @@ def test_device_nms_deep_suppression_chain():
     np.testing.assert_allclose(np.asarray(db[0])[:n_dev], hb, rtol=1e-5)
 
 
+def test_nms_topk_policy():
+    """Truncation is a serving-threshold optimization: adaptive pool =
+    NMS_TOPK at serving thresholds, unbounded at eval-grade thresholds
+    (TPU-lane measurement: capped 256 cost 0.13 proxy mAP at thresh
+    0.04); an explicit nms_topk always wins."""
+    from dnn_inference_engine_tpu.config import (
+        EngineConfig, NMS_TOPK, NMS_TRUNCATION_MIN_THRESH)
+    assert EngineConfig().resolved_nms_topk() == NMS_TOPK
+    assert EngineConfig(score_thresh=0.04).resolved_nms_topk() >= 845
+    assert EngineConfig(score_thresh=0.005).resolved_nms_topk() >= 845
+    assert EngineConfig(score_thresh=NMS_TRUNCATION_MIN_THRESH
+                        ).resolved_nms_topk() == NMS_TOPK
+    assert EngineConfig(score_thresh=0.04,
+                        nms_topk=128).resolved_nms_topk() == 128
+
+
 def test_pack_bits(rng):
     """Bitset packing: bit b of word w == element w*32+b, zero-padded
     to a word multiple, exact for every shape the NMS uses."""

@@ -45,7 +45,7 @@ def main() -> None:
             boxes, scores = eng._decode(heads)
             # production candidate pool for the fixpoint formulation;
             # the seq baseline's topk is its per-class cap (128)
-            topk = (c.nms_topk if nms is pp.device_nms
+            topk = (c.resolved_nms_topk() if nms is pp.device_nms
                     else c.max_detections)
             return nms(boxes, scores, iou_thresh=c.nms_iou_thresh,
                        score_thresh=c.score_thresh,
