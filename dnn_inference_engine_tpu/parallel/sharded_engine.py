@@ -178,7 +178,6 @@ def _param_in_specs(engine) -> Sequence:
 def make_sharded_detect_fn(engine, mesh: Mesh):
     """jit(shard_map) image batch -> (boxes, scores, classes), the whole
     pipeline (forward + decode + NMS) sharded over the mesh."""
-    from dnn_inference_engine_tpu.postprocess import device_nms
     cfg = engine.config
     pair = _validated_pair(engine, mesh)
     local_fwd = _make_local_forward(engine, pair)
@@ -188,12 +187,7 @@ def make_sharded_detect_fn(engine, mesh: Mesh):
         if x.dtype == jnp.uint8 and not u8_through:
             x = x.astype(jnp.float32) / 255.0
         heads = local_fwd(params, x)
-        boxes, scores = engine._decode(heads)
-        return device_nms(boxes, scores,
-                          iou_thresh=cfg.nms_iou_thresh,
-                          score_thresh=cfg.score_thresh,
-                          topk=cfg.resolved_nms_topk(),
-                          max_det=cfg.max_detections)
+        return engine.postprocess(heads)
 
     in_specs = (_param_in_specs(engine), P("data", None, None, None))
     out_specs = (P("data", None, None), P("data", None), P("data", None))

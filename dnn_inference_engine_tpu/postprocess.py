@@ -129,6 +129,66 @@ def cxcywh_to_xyxy(boxes):
 
 
 # ---------------------------------------------------------------------------
+# Columnar decode (engine-internal layout; SURVEY.md section 2.4 P2)
+# ---------------------------------------------------------------------------
+#
+# The row-major public layout (boxes (N, M, 4), scores (N, M, C)) puts
+# 4- and 20-wide dims in the TPU lane position, so every tensor pads to
+# 128 lanes (boxes 32x, scores 6.4x) and the decode/NMS fusions run at
+# a few % vector fill. The columnar layout (boxes (N, 4, M), scores
+# (N, C, M)) keeps the big M dim in the lanes; candidate order is
+# ANCHOR-MAJOR (m = anchor*S*S + cell), which only permutes tie-breaks
+# vs the public row-major order. The engine's jitted detect path uses
+# these; the public decode_* / device_nms keep the reference-shaped API.
+
+def _decode_cols(head, anchors, num_classes: int, input_size: int,
+                 anchors_in_cells: bool, softmax_cls: bool):
+    n, s, _, _ = head.shape
+    a = len(anchors)
+    e = 5 + num_classes
+    s2 = s * s
+    cell_px = input_size / s
+    # (N,S,S,A*E) -> (N,S2,A*E) -> transpose -> (N,A*E,S2) -> (N,A,E,S2)
+    # (one compact-layout transpose; both reshapes are free)
+    x = head.reshape(n, s2, a * e)
+    x = jnp.transpose(x, (0, 2, 1)).reshape(n, a, e, s2)
+    mi = jax.lax.iota(jnp.float32, s2)
+    col = mi % s
+    row = jnp.floor(mi / s)
+    anc = jnp.asarray(anchors, jnp.float32)
+    with jax.named_scope("post_decode"):
+        bx = (col + jax.nn.sigmoid(x[:, :, 0, :])) * cell_px   # (N,A,S2)
+        by = (row + jax.nn.sigmoid(x[:, :, 1, :])) * cell_px
+        scale_wh = cell_px if anchors_in_cells else 1.0
+        bw = anc[:, 0][None, :, None] * jnp.exp(x[:, :, 2, :]) * scale_wh
+        bh = anc[:, 1][None, :, None] * jnp.exp(x[:, :, 3, :]) * scale_wh
+        obj = jax.nn.sigmoid(x[:, :, 4, :])
+        logits = x[:, :, 5:, :]                                 # (N,A,C,S2)
+        cls = (jax.nn.softmax(logits, axis=2) if softmax_cls
+               else jax.nn.sigmoid(logits))
+        scores = obj[:, :, None, :] * cls                       # (N,A,C,S2)
+        boxes = jnp.stack([bx, by, bw, bh], axis=1)             # (N,4,A,S2)
+        scores = jnp.transpose(scores, (0, 2, 1, 3))            # (N,C,A,S2)
+        return (boxes.reshape(n, 4, a * s2),
+                scores.reshape(n, num_classes, a * s2))
+
+
+def decode_yolov2_cols(head, anchors=YOLOV2_TINY_ANCHORS,
+                       num_classes: int = NUM_CLASSES,
+                       input_size: int = INPUT_SIZE):
+    """Columnar decode: (N,4,M) cxcywh + (N,C,M), anchor-major order."""
+    return _decode_cols(head, anchors, num_classes, input_size,
+                        anchors_in_cells=True, softmax_cls=True)
+
+
+def decode_yolov3_cols(head, anchors_px,
+                       num_classes: int = NUM_CLASSES,
+                       input_size: int = INPUT_SIZE):
+    return _decode_cols(head, anchors_px, num_classes, input_size,
+                        anchors_in_cells=False, softmax_cls=False)
+
+
+# ---------------------------------------------------------------------------
 # IoU
 # ---------------------------------------------------------------------------
 
@@ -307,6 +367,67 @@ def device_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
             return bk_all, s_top, cls
 
     return jax.vmap(per_image)(b_xyxy, scores)
+
+
+@partial(jax.jit, static_argnames=("iou_thresh", "score_thresh", "topk",
+                                   "max_det"))
+def device_nms_cols(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    iou_thresh: float = NMS_IOU_THRESH,
+                    score_thresh: float = SCORE_THRESH_VIS,
+                    topk: int = MAX_DETECTIONS,
+                    max_det: int = MAX_DETECTIONS):
+    """Columnar-layout twin of ``device_nms``: boxes (B, 4, M) cxcywh,
+    scores (B, C, M) — the big M dim stays in the TPU lane position
+    throughout (no 128-lane padding of 4-/C-wide tensors), same
+    fixpoint suppression, same (boxes (B, D, 4) xyxy, scores (B, D),
+    classes (B, D)) outputs. Candidate order follows the input's M
+    order (the engine feeds anchor-major), which only permutes
+    tie-breaks vs the row-major path."""
+    m = boxes.shape[-1]
+    topk = min(topk, m)
+
+    def per_image(bx, sc):           # bx (4,M), sc (C,M)
+        c = sc.shape[0]
+        with jax.named_scope("nms_candidates"):
+            if topk < m:
+                best = jnp.max(sc, axis=0)
+                _, oidx = jax.lax.top_k(best, topk)
+                bk = jnp.take(bx, oidx, axis=1)      # (4,K)
+                sk = jnp.take(sc, oidx, axis=1)      # (C,K)
+            else:
+                oidx = jax.lax.iota(jnp.int32, m)
+                bk, sk = bx, sc
+        with jax.named_scope("nms_suppress"):
+            x1 = bk[0] - bk[2] * 0.5
+            y1 = bk[1] - bk[3] * 0.5
+            x2 = bk[0] + bk[2] * 0.5
+            y2 = bk[1] + bk[3] * 0.5
+            area = (jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0))
+            ix1 = jnp.maximum(x1[:, None], x1[None, :])
+            iy1 = jnp.maximum(y1[:, None], y1[None, :])
+            ix2 = jnp.minimum(x2[:, None], x2[None, :])
+            iy2 = jnp.minimum(y2[:, None], y2[None, :])
+            inter = (jnp.maximum(ix2 - ix1, 0) * jnp.maximum(iy2 - iy1, 0))
+            union = area[:, None] + area[None, :] - inter
+            iou = inter / jnp.maximum(union, 1e-9)
+            valid = sk > score_thresh
+            keep = _greedy_fixpoint(sk, oidx, iou > iou_thresh, valid)
+        with jax.named_scope("nms_merge"):
+            sk_out = jnp.where(keep, sk, 0.0).reshape(-1)   # (C*K,)
+            d = min(max_det, sk_out.shape[0])
+            s_top, i_top = jax.lax.top_k(sk_out, d)
+            cls = i_top // topk
+            k_idx = i_top % topk
+            bxyxy = jnp.stack([x1, y1, x2, y2], axis=0)     # (4,K)
+            bk_out = jnp.take(bxyxy, k_idx, axis=1).T       # (D,4)
+            if d < max_det:           # keep the advertised static shape
+                pad = max_det - d
+                bk_out = jnp.pad(bk_out, ((0, pad), (0, 0)))
+                s_top = jnp.pad(s_top, (0, pad))
+                cls = jnp.pad(cls, (0, pad))
+            return bk_out, s_top, cls
+
+    return jax.vmap(per_image)(boxes, scores)
 
 
 @partial(jax.jit, static_argnames=("iou_thresh", "score_thresh", "topk",

@@ -129,6 +129,50 @@ def test_device_nms_deep_suppression_chain():
     np.testing.assert_allclose(np.asarray(db[0])[:n_dev], hb, rtol=1e-5)
 
 
+def test_decode_cols_matches_rowmajor(rng):
+    """The columnar decode is the row-major decode under the
+    anchor-major index permutation m' = a*S2 + cell."""
+    from dnn_inference_engine_tpu.postprocess import decode_yolov2_cols
+    head = rng.standard_normal((2, 13, 13, 125)).astype(np.float32)
+    rb, rs = decode_yolov2(jnp.asarray(head))            # (N,845,4/20)
+    cb, cs = decode_yolov2_cols(jnp.asarray(head))       # (N,4/20,845)
+    s2, a = 169, 5
+    cell = np.arange(845) // a
+    anch = np.arange(845) % a
+    perm = anch * s2 + cell                              # rowmajor->col
+    np.testing.assert_allclose(np.asarray(cb)[:, :, perm],
+                               np.asarray(rb).transpose(0, 2, 1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cs)[:, :, perm],
+                               np.asarray(rs).transpose(0, 2, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_device_nms_cols_matches_rowmajor(rng):
+    """Columnar NMS on columnar decode == row-major NMS on row-major
+    decode: same survivors in the same score order (no ties with
+    random float scores), untruncated."""
+    from dnn_inference_engine_tpu.postprocess import (
+        decode_yolov2_cols, device_nms_cols)
+    head = rng.standard_normal((2, 13, 13, 125)).astype(np.float32) * 2
+    rb, rs = decode_yolov2(jnp.asarray(head))
+    cb, cs = decode_yolov2_cols(jnp.asarray(head))
+    kw = dict(iou_thresh=0.45, score_thresh=0.05, topk=845, max_det=64)
+    ra = device_nms(rb, rs, **kw)
+    ca = device_nms_cols(cb, cs, **kw)
+    for i in range(2):
+        n = int((np.asarray(ra[1][i]) > 0).sum())
+        nc = int((np.asarray(ca[1][i]) > 0).sum())
+        assert n == nc, (i, n, nc)
+        np.testing.assert_allclose(np.asarray(ca[1][i])[:n],
+                                   np.asarray(ra[1][i])[:n], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ca[2][i])[:n],
+                                      np.asarray(ra[2][i])[:n])
+        np.testing.assert_allclose(np.asarray(ca[0][i])[:n],
+                                   np.asarray(ra[0][i])[:n],
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_nms_topk_policy():
     """Truncation is a serving-threshold optimization: adaptive pool =
     NMS_TOPK at serving thresholds, unbounded at eval-grade thresholds
