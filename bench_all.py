@@ -306,7 +306,7 @@ def bench_b1_detect_latency():
         "detect_device_ms": round(t_det * 1e3, 4),
         "postprocess_device_ms": round((t_det - t_fwd) * 1e3, 4),
         "p50_wall_ms": round(t_wall * 1e3, 2),
-        "nms": "fixpoint, candidate pool 256 (EngineConfig.nms_topk)",
+        "nms": "fixpoint, columnar layout, adaptive candidate pool (256 at the serving threshold; EngineConfig.resolved_nms_topk)",
         "note": "round-4 formulation measured 0.459 ms detect / 0.312 "
                 "postprocess at the same point (tools/ab_nms.py); wall "
                 "p50 is relay-transport-bound in this sandbox",
