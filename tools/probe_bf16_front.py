@@ -35,8 +35,7 @@ def main() -> None:
     from dnn_inference_engine_tpu.runtime.benchlib import per_iter_time_stats
     from dnn_inference_engine_tpu.runtime.engine import Engine
     from dnn_inference_engine_tpu.runtime.plan import (
-        _run_stage, depth_to_space, plan_forward_w8a8, shift_space_to_depth,
-        space_to_depth)
+        _run_stage, depth_to_space, plan_forward_w8a8, space_to_depth)
 
     eng = Engine(EngineConfig(mode="w8a8", kernel="auto", batch=batch)
                  ).load_weights(key=jax.random.PRNGKey(0)).prepare()
